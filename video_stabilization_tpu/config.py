@@ -1,0 +1,194 @@
+"""Configuration for the TPU video-stabilization engine.
+
+The reference hard-codes its hyperparameters as compile-time constants scattered
+through ``src/stabilizer.cpp`` (GFTT: :933-945, LK: :185-190, ORB: :483-493,
+SIFT: :496-507, RANSAC: :510-511, ECC: :767-771).  Here they are lifted into one
+typed, hashable config object so a single jitted step function can be specialized
+per-config without recompiling on every call.
+
+All sizes are static: TPU/XLA requires fixed shapes, so OpenCV's variable-length
+feature vectors become fixed-capacity arrays with validity masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class StabilizationMode(enum.IntEnum):
+    """Stabilization modes (reference: include/stabilizer.hpp:31-38).
+
+    Values are stable integers because the mode is carried on-device as an
+    ``int32`` and dispatched with ``lax.switch``.
+    """
+
+    GLOBAL_SMOOTHING = 0
+    ACCUMULATED_FULL_LOCK = 1
+    ORB_FULL_LOCK = 2
+    SIFT_FULL_LOCK = 3
+    TRANSLATION_LOCK = 4
+    ROTATION_LOCK = 5
+
+
+class InputMode(enum.Enum):
+    """Input source selection (reference: src/main_utils.hpp:13-18)."""
+
+    UNSPECIFIED = "unspecified"
+    SIMULATOR = "simulator"
+    CAMERA = "camera"
+    FILE = "file"
+
+
+@dataclasses.dataclass(frozen=True)
+class GFTTConfig:
+    """Shi-Tomasi good-features-to-track (reference: src/stabilizer.cpp:933-945)."""
+
+    max_features: int = 1280          # ref uses 1300; rounded to a lane multiple
+    quality_level: float = 0.01
+    # min distance is 10 * (rows / 720) in the reference (:938-940); we keep the
+    # same scaling rule, resolved at trace time from the working height.
+    min_distance_at_720: float = 10.0
+    block_size: int = 3
+    gradient_size: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class LKConfig:
+    """Pyramidal Lucas-Kanade (reference: src/stabilizer.cpp:185-190)."""
+
+    window_size: int = 21
+    pyramid_levels: int = 3           # maxLevel=3 => 4 levels total (0..3)
+    max_iters: int = 50
+    epsilon: float = 0.01
+    min_eig_threshold: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Robust similarity fit (reference: src/stabilizer.cpp:224-225, 510-511,
+    and OpenCV estimateAffinePartial2D defaults)."""
+
+    num_hypotheses: int = 256         # fixed hypothesis count (static shapes)
+    inlier_threshold: float = 3.0     # px, OpenCV default ransacReprojThreshold
+    lock_inlier_threshold: float = 5.0  # ORB/SIFT lock path uses 5.0 (:510-511)
+    refine_iters: int = 2             # least-squares refits on the inlier set
+    min_points: int = 10              # MIN_POINTS_FOR_MOTION_ESTIMATION (:20)
+
+
+@dataclasses.dataclass(frozen=True)
+class ORBConfig:
+    """ORB detect/describe (reference: src/stabilizer.cpp:483-493)."""
+
+    max_features: int = 2560          # ref 2500; rounded up to lane multiple
+    scale_factor: float = 1.2
+    n_levels: int = 12
+    edge_threshold: int = 31
+    patch_size: int = 31
+    fast_threshold: int = 20
+    lowe_ratio: float = 0.6
+    max_keypoint_size_ratio: float = 0.10
+
+
+@dataclasses.dataclass(frozen=True)
+class SIFTConfig:
+    """SIFT detect/describe (reference: src/stabilizer.cpp:496-507)."""
+
+    max_features: int = 2560          # ref 2500
+    n_octave_layers: int = 3
+    contrast_threshold: float = 0.04
+    edge_threshold: float = 5.0
+    sigma: float = 1.2
+    max_keypoint_size_ratio: float = 0.05
+    # SIFT match filter keeps distance <= max(0.5*avg, 0.02) (:698-702)
+    match_avg_ratio: float = 0.5
+    match_min_distance: float = 0.02
+
+
+@dataclasses.dataclass(frozen=True)
+class ECCConfig:
+    """ECC Euclidean refinement (reference: src/stabilizer.cpp:760-782).
+
+    Disabled in the reference "for performance reasons"; we can afford it."""
+
+    enabled: bool = False
+    max_iters: int = 100
+    epsilon: float = 0.001
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """ORB/SIFT preprocessing chain (reference: src/stabilizer.cpp:464-477,
+    docs/math-overview.md:323-328): median5 -> sharpen3x3 -> CLAHE -> median5."""
+
+    median_ksize: int = 5
+    clahe_clip_limit: float = 2.0
+    clahe_tiles: Tuple[int, int] = (8, 8)
+
+
+@dataclasses.dataclass(frozen=True)
+class StabilizerConfig:
+    """Top-level engine configuration.
+
+    ``past_frames`` / ``future_frames`` are the temporal window sides in frames
+    (reference: Stabilizer ctor, include/stabilizer.hpp:137; the app derives
+    them as window-seconds x fps, src/main.cpp:205-207).
+    """
+
+    past_frames: int = 60             # 2.0 s @ 30 fps
+    future_frames: int = 45           # 1.5 s @ 30 fps
+    working_height: int = 360
+    # Full-resolution frame geometry (static; the reference errors on mid-stream
+    # size changes too, src/stabilizer.cpp:111-113).
+    frame_height: int = 720
+    frame_width: int = 1280
+    channels: int = 3
+
+    gftt: GFTTConfig = GFTTConfig()
+    lk: LKConfig = LKConfig()
+    ransac: RansacConfig = RansacConfig()
+    orb: ORBConfig = ORBConfig()
+    sift: SIFTConfig = SIFTConfig()
+    ecc: ECCConfig = ECCConfig()
+    preprocess: PreprocessConfig = PreprocessConfig()
+
+    # Replicate the reference's behavioral quirks bit-for-bit (SURVEY.md §7
+    # "Matching the reference's quirks") — used only by drift benchmarks.
+    reference_compat: bool = False
+
+    # Compute dtype for image ops on TPU (3x3 transform math is always f32).
+    image_dtype: str = "float32"
+
+    def __post_init__(self) -> None:
+        if self.past_frames < 0 or self.future_frames < 0:
+            raise ValueError("window sides must be non-negative")
+        if self.past_frames == 0 and self.future_frames == 0:
+            # reference: src/stabilizer.cpp:40-41
+            raise ValueError("past and future frame windows cannot both be zero")
+        if not (90 < self.working_height <= 2160):
+            # reference: src/stabilizer.cpp:44-49
+            raise ValueError("working_height must be in (90, 2160]")
+        if self.frame_height <= 10 or self.frame_width <= 10:
+            # reference rejects frames <= 10x10 (src/stabilizer.cpp:99-103)
+            raise ValueError("frame size must exceed 10x10")
+
+    @property
+    def total_window(self) -> int:
+        """past + 1 + future (reference: include/stabilizer.hpp:196-198)."""
+        return self.past_frames + 1 + self.future_frames
+
+    @property
+    def scale_factor(self) -> float:
+        """working_height / frame_height (reference: src/stabilizer.cpp:117-119)."""
+        return self.working_height / self.frame_height
+
+    @property
+    def working_size(self) -> Tuple[int, int]:
+        """(height, width) at working resolution, preserving aspect ratio."""
+        h = self.working_height
+        w = int(round(self.frame_width * self.scale_factor))
+        return (h, w)
+
+
+DEFAULT_CONFIG = StabilizerConfig()
