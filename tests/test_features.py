@@ -1,0 +1,154 @@
+"""GFTT + pyramidal LK fidelity tests against OpenCV on simulator frames.
+
+The comparison is statistical, not index-by-index (SURVEY.md §7 "Hard parts"):
+GFTT is compared as corner-set coverage, LK as endpoint agreement on the same
+input corners.
+"""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_stabilization_tpu.config import GFTTConfig, LKConfig
+from video_stabilization_tpu.ops import build_pyramid
+from video_stabilization_tpu.ops.gftt import good_features_to_track, min_eig_response
+from video_stabilization_tpu.ops.lk import lk_track
+from video_stabilization_tpu.sim import (
+    DEFAULT_APP_PARAMS,
+    make_default_texture,
+    move_right,
+    render_frame,
+    roll_clockwise,
+)
+
+H, W = 360, 640
+
+
+def sim_pair():
+    tex = make_default_texture(jax.random.key(0), size=512)
+    pa = DEFAULT_APP_PARAMS
+    pb = roll_clockwise(move_right(pa, 0.3), 0.25)  # ~3.2px shift + 0.5 deg
+    fa = np.asarray(render_frame(tex, pa, H, W))
+    fb = np.asarray(render_frame(tex, pb, H, W))
+    ga = cv2.cvtColor(fa, cv2.COLOR_BGR2GRAY)
+    gb = cv2.cvtColor(fb, cv2.COLOR_BGR2GRAY)
+    return ga, gb
+
+
+class TestMinEigResponse:
+    def test_rank_correlates_with_cv2(self):
+        ga, _ = sim_pair()
+        ours = np.asarray(min_eig_response(jnp.asarray(ga, jnp.float32)))
+        ref = cv2.cornerMinEigenVal(ga, blockSize=3, ksize=3)
+        # identical up to a global positive scale -> near-perfect correlation
+        inner = (slice(8, -8), slice(8, -8))
+        corr = np.corrcoef(ours[inner].ravel(), ref[inner].ravel())[0, 1]
+        assert corr > 0.99
+
+
+class TestGFTT:
+    def test_covers_cv2_corners(self):
+        ga, _ = sim_pair()
+        cfg = GFTTConfig(max_features=1280)
+        ours = good_features_to_track(jnp.asarray(ga, jnp.float32), cfg)
+        pts = np.asarray(ours.points)[np.asarray(ours.mask)]
+        assert len(pts) > 300
+
+        ref = cv2.goodFeaturesToTrack(
+            ga, maxCorners=1300, qualityLevel=0.01, minDistance=5,
+            mask=None, blockSize=3,
+        ).reshape(-1, 2)
+        # every strong cv2 corner should have one of ours nearby (<= cell diag)
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(pts)
+        d, _ = tree.query(ref[:200])  # 200 strongest cv2 corners
+        assert np.median(d) < 4.0
+        assert (d < 8.0).mean() > 0.9
+
+    def test_min_spacing_within_cells(self):
+        ga, _ = sim_pair()
+        ours = good_features_to_track(jnp.asarray(ga, jnp.float32))
+        pts = np.asarray(ours.points)[np.asarray(ours.mask)]
+        # cell-based suppression: no two corners share a cell => count bounded
+        # by number of cells, and average nearest-neighbor spacing >= ~cell/2
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(pts).query(pts, k=2)
+        assert np.median(d[:, 1]) >= 2.5  # cell=5 at 360p
+
+    def test_jit_static_shapes(self):
+        ga, _ = sim_pair()
+        f = jax.jit(lambda x: good_features_to_track(x, GFTTConfig(max_features=512)))
+        out = f(jnp.asarray(ga, jnp.float32))
+        assert out.points.shape == (512, 2)
+        assert out.mask.shape == (512,)
+
+
+class TestLK:
+    def test_tracks_match_cv2(self):
+        ga, gb = sim_pair()
+        corners = cv2.goodFeaturesToTrack(
+            ga, maxCorners=200, qualityLevel=0.01, minDistance=10,
+            mask=None, blockSize=3,
+        ).reshape(-1, 2)
+
+        ref_pts, ref_st, _ = cv2.calcOpticalFlowPyrLK(
+            ga, gb, corners.reshape(-1, 1, 2), None,
+            winSize=(21, 21), maxLevel=3,
+            criteria=(cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 50, 0.01),
+            minEigThreshold=1e-4,
+        )
+        ref_pts = ref_pts.reshape(-1, 2)
+        ref_st = ref_st.reshape(-1).astype(bool)
+
+        pyr_a = build_pyramid(jnp.asarray(ga, jnp.float32), 3)
+        pyr_b = build_pyramid(jnp.asarray(gb, jnp.float32), 3)
+        res = lk_track(pyr_a, pyr_b, jnp.asarray(corners), jnp.ones(len(corners), bool))
+        ours_pts = np.asarray(res.points)
+        ours_st = np.asarray(res.status)
+
+        both = ref_st & ours_st
+        assert both.mean() > 0.8  # most points tracked by both
+        d = np.linalg.norm(ours_pts[both] - ref_pts[both], axis=-1)
+        assert np.median(d) < 0.1
+        assert (d < 0.5).mean() > 0.9  # tail = border points whose content left the frame
+
+    def test_known_translation(self):
+        ga, _ = sim_pair()
+        shift = np.float32([[1, 0, 3.25], [0, 1, -2.5]])
+        gb = cv2.warpAffine(ga.astype(np.float32), shift, (W, H)).astype(np.uint8)
+        corners = cv2.goodFeaturesToTrack(ga, 150, 0.01, 10).reshape(-1, 2)
+        keep = (
+            (corners[:, 0] > 30) & (corners[:, 0] < W - 30)
+            & (corners[:, 1] > 30) & (corners[:, 1] < H - 30)
+        )
+        corners = corners[keep]
+
+        pyr_a = build_pyramid(jnp.asarray(ga, jnp.float32), 3)
+        pyr_b = build_pyramid(jnp.asarray(gb, jnp.float32), 3)
+        res = lk_track(pyr_a, pyr_b, jnp.asarray(corners), jnp.ones(len(corners), bool))
+        st = np.asarray(res.status)
+        flow = np.asarray(res.points)[st] - corners[st]
+        assert st.mean() > 0.8
+        np.testing.assert_allclose(np.median(flow, axis=0), [3.25, -2.5], atol=0.1)
+
+    def test_lost_points_flagged(self):
+        ga, gb = sim_pair()
+        # points in a flat synthetic region + out of bounds
+        flat = np.full((H, W), 128, np.uint8)
+        pts = np.array([[50.0, 50.0], [630.0, 350.0], [5.0, 5.0]], np.float32)
+        pyr_a = build_pyramid(jnp.asarray(flat, jnp.float32), 3)
+        pyr_b = build_pyramid(jnp.asarray(flat, jnp.float32), 3)
+        res = lk_track(pyr_a, pyr_b, jnp.asarray(pts), jnp.ones(3, bool))
+        assert not np.any(np.asarray(res.status))  # no texture -> min-eig fail
+
+    def test_masked_input_stays_masked(self):
+        ga, gb = sim_pair()
+        pts = np.array([[100.0, 100.0], [200.0, 200.0]], np.float32)
+        pyr_a = build_pyramid(jnp.asarray(ga, jnp.float32), 3)
+        pyr_b = build_pyramid(jnp.asarray(gb, jnp.float32), 3)
+        res = lk_track(pyr_a, pyr_b, jnp.asarray(pts), jnp.asarray([True, False]))
+        assert not bool(res.status[1])
+        np.testing.assert_allclose(res.points[1], pts[1])  # untouched
