@@ -1,0 +1,215 @@
+"""Engine tests: smoothing math, lock modes, end-to-end stabilization.
+
+End-to-end tests run the full jitted step on simulator footage with known
+camera motion (SURVEY.md §4: the simulator is the universal fixture).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_stabilization_tpu.config import (
+    GFTTConfig,
+    LKConfig,
+    RansacConfig,
+    StabilizationMode,
+    StabilizerConfig,
+)
+from video_stabilization_tpu.engine import (
+    Stabilizer,
+    init_carry,
+    make_step_fn,
+    smoothing_homography,
+)
+from video_stabilization_tpu.sim import (
+    DEFAULT_APP_PARAMS,
+    make_default_texture,
+    render_frame,
+    shake_trajectory,
+)
+
+FH, FW = 240, 320
+
+
+def small_config(past=8, future=4, compat=False):
+    return StabilizerConfig(
+        past_frames=past,
+        future_frames=future,
+        working_height=120,
+        frame_height=FH,
+        frame_width=FW,
+        gftt=GFTTConfig(max_features=256),
+        lk=LKConfig(max_iters=30),
+        ransac=RansacConfig(num_hypotheses=128),
+        reference_compat=compat,
+    )
+
+
+def np_reference_smoothing(transforms, p, compat):
+    """Literal numpy replica of the reference's smoothing loops
+    (src/stabilizer.cpp:793-852) for cross-checking."""
+    n = len(transforms)
+    h_avg = np.zeros((3, 3))
+    count = 0
+    h_accum = np.eye(3)
+    for i in range(p, 0, -1):
+        h_accum = np.linalg.inv(transforms[i - 1]) @ h_accum
+        h_avg += h_accum
+        count += 1
+    h_accum = np.eye(3)
+    bound = n - 1 if compat else n
+    for i in range(p, bound):
+        if compat:
+            h_accum = h_accum @ transforms[i]
+        else:
+            h_accum = transforms[i] @ h_accum
+        h_avg += h_accum
+        count += 1
+    if not compat:
+        h_avg += np.eye(3)
+        count += 1
+    if count == 0:
+        return np.eye(3)
+    return h_avg / count
+
+
+def random_rigid_transforms(rng, n):
+    ts = []
+    for _ in range(n):
+        ang = rng.uniform(-0.02, 0.02)
+        c, s = np.cos(ang), np.sin(ang)
+        tx, ty = rng.uniform(-3, 3, 2)
+        ts.append(np.array([[c, -s, tx], [s, c, ty], [0, 0, 1]], np.float32))
+    return ts
+
+
+class TestSmoothing:
+    @pytest.mark.parametrize("compat", [False, True])
+    @pytest.mark.parametrize("p,n", [(4, 9), (0, 9), (8, 9), (3, 5), (0, 1)])
+    def test_matches_reference_replica(self, rng, compat, p, n):
+        wm1 = 12  # array capacity > n
+        ts = random_rigid_transforms(rng, n)
+        arr = np.broadcast_to(np.eye(3, dtype=np.float32), (wm1, 3, 3)).copy()
+        arr[wm1 - n:] = ts
+        tvalid = np.zeros(wm1, bool)
+        tvalid[wm1 - n:] = True
+
+        q = smoothing_homography(
+            jnp.asarray(arr), jnp.asarray(tvalid), jnp.asarray(p),
+            jnp.asarray(n), reference_compat=compat,
+        )
+        expected = np_reference_smoothing(ts, p, compat)
+        np.testing.assert_allclose(np.asarray(q), expected, atol=2e-4)
+
+    def test_empty_window_identity(self):
+        arr = jnp.broadcast_to(jnp.eye(3), (12, 3, 3))
+        q = smoothing_homography(arr, jnp.zeros(12, bool), jnp.asarray(0), jnp.asarray(0))
+        # fixed mode: only the +I term -> exactly identity
+        np.testing.assert_allclose(np.asarray(q), np.eye(3), atol=1e-6)
+
+    def test_static_shake_averages_out(self, rng):
+        """Pure translational shake around zero: Q's translation ~ mean
+        displacement to neighbours (a low-pass of the trajectory)."""
+        n = 10
+        offsets = rng.uniform(-5, 5, (n + 1, 2))  # absolute positions
+        ts = []
+        for i in range(n):
+            d = offsets[i + 1] - offsets[i]
+            ts.append(np.array([[1, 0, d[0]], [0, 1, d[1]], [0, 0, 1]], np.float32))
+        arr = np.stack(ts)
+        q = smoothing_homography(
+            jnp.asarray(arr), jnp.ones(n, bool), jnp.asarray(5), jnp.asarray(n)
+        )
+        # chained products map presentation frame 5 into each neighbour frame;
+        # translation of the average = mean of (offset_j - offset_5)
+        expected_t = np.mean(offsets - offsets[5], axis=0)
+        np.testing.assert_allclose(np.asarray(q)[:2, 2], expected_t, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def footage():
+    tex = make_default_texture(jax.random.key(0), size=256)
+    base = DEFAULT_APP_PARAMS
+    traj = shake_trajectory(jax.random.key(5), 30, base,
+                            pos_amplitude=0.004, roll_amplitude=0.3)
+    frames = jax.vmap(lambda p: render_frame(tex, p, FH, FW))(traj)
+    return np.asarray(frames)
+
+
+class TestEngineEndToEnd:
+    def test_first_frame_passthrough(self, footage):
+        cfg = small_config()
+        stab = Stabilizer(cfg)
+        out = stab.stabilize_frame(footage[0])
+        np.testing.assert_array_equal(np.asarray(out), footage[0])
+
+    def test_smoothing_reduces_shake(self, footage):
+        cfg = small_config(past=6, future=4)
+        step = make_step_fn(cfg)
+        carry = init_carry(cfg, int(StabilizationMode.GLOBAL_SMOOTHING), jax.random.key(0))
+        outs = []
+        for f in footage:
+            carry, (out, _) = step(carry, jnp.asarray(f))
+            outs.append(np.asarray(out))
+        outs = np.stack(outs)
+
+        # After warm-up, compare inter-frame jitter (central crop) of the
+        # stabilized stream vs the raw stream (aligned by the future delay).
+        delay = cfg.future_frames
+        crop = (slice(60, 180), slice(80, 240))
+        raw = footage[: len(footage) - delay].astype(np.float32)
+        stabv = outs[delay:].astype(np.float32)
+        jitter_raw = np.abs(np.diff(raw[10:, *crop], axis=0)).mean()
+        jitter_stab = np.abs(np.diff(stabv[10:, *crop], axis=0)).mean()
+        assert jitter_stab < 0.75 * jitter_raw
+
+    def test_accumulated_lock_freezes_view(self, footage):
+        cfg = small_config(past=6, future=2)
+        step = make_step_fn(cfg)
+        carry = init_carry(cfg, int(StabilizationMode.ACCUMULATED_FULL_LOCK),
+                           jax.random.key(0))
+        outs = []
+        for f in footage:
+            carry, (out, _) = step(carry, jnp.asarray(f))
+            outs.append(np.asarray(out))
+        outs = np.stack(outs).astype(np.float32)
+
+        # Once locked, consecutive outputs should barely change even though
+        # the camera shakes: compare late-stream jitter to raw jitter.
+        crop = (slice(60, 180), slice(80, 240))
+        delay = cfg.future_frames
+        raw = footage[: len(footage) - delay].astype(np.float32)
+        jitter_raw = np.abs(np.diff(raw[10:, *crop], axis=0)).mean()
+        jitter_lock = np.abs(np.diff(outs[10:, *crop], axis=0)).mean()
+        assert jitter_lock < 0.4 * jitter_raw
+
+    def test_mode_switch_midstream(self, footage):
+        cfg = small_config(past=6, future=2)
+        stab = Stabilizer(cfg, StabilizationMode.GLOBAL_SMOOTHING)
+        for f in footage[:10]:
+            stab.stabilize_frame(f)
+        stab.set_stabilization_mode(StabilizationMode.ACCUMULATED_FULL_LOCK)
+        assert not bool(stab.carry.accum_active)
+        for f in footage[10:20]:
+            out = stab.stabilize_frame(f)
+        assert bool(stab.carry.accum_active)
+        assert out.shape == footage[0].shape
+
+    def test_carry_counts(self, footage):
+        cfg = small_config(past=3, future=2)
+        stab = Stabilizer(cfg)
+        for f in footage[:10]:
+            stab.stabilize_frame(f)
+        assert int(stab.carry.n) == 10
+        assert bool(jnp.all(stab.carry.tvalid))  # window (W-1=5) full
+
+    def test_rotation_lock_keeps_translation(self, footage):
+        """ROTATION_LOCK output should differ from both raw and full lock:
+        it cancels rotation only. Smoke-test that it runs and emits frames."""
+        cfg = small_config(past=6, future=2)
+        stab = Stabilizer(cfg, StabilizationMode.ROTATION_LOCK)
+        for f in footage[:12]:
+            out = stab.stabilize_frame(f)
+        assert out.shape == footage[0].shape
+        assert int(stab.carry.n) == 12

@@ -1,0 +1,9 @@
+"""The stabilization engine: carry pytree, per-frame step function, modes."""
+
+from video_stabilization_tpu.engine.state import EngineCarry, init_carry  # noqa: F401
+from video_stabilization_tpu.engine.smoothing import smoothing_homography  # noqa: F401
+from video_stabilization_tpu.engine.stabilizer import (  # noqa: F401
+    Stabilizer,
+    make_step_fn,
+    stabilize_step,
+)

@@ -1,0 +1,271 @@
+"""The per-frame stabilization step — one jitted pure function.
+
+Re-architecture of ``Stabilizer::stabilizeFrame`` (reference:
+src/stabilizer.cpp:1158-1325) as
+
+    stabilize_step : (carry, frame_u8) -> (carry', (output_u8, out_valid))
+
+with all state explicit (engine/state.py).  Per-frame pipeline, mirroring
+SURVEY.md §3.2 but restructured for XLA:
+
+  1. full-res BGR -> working-res gray (+ pyramid, computed once, carried)
+  2. LK-track previous corners into this frame      [hot]
+  3. RANSAC similarity + isotropic-scale removal -> inter-frame T  [hot]
+  4. ring-buffer updates (frames circular, transforms rolled)
+  5. smoothing homography Q (always, like the reference)
+  6. accumulated-lock homography (anchor/advance/invert)
+  7. rotation split: H_translation_lock / H_rotation_lock via decomposition
+  8. mode switch (lax.switch on the carried mode scalar)
+  9. translation rescale to full resolution; warp presentation frame [hot]
+ 10. GFTT for the next frame                        [hot]
+
+Differences from the reference, by design:
+  - TRANSLATION_LOCK / ROTATION_LOCK are *implemented* (the reference leaves
+    H_lock identity for them, making both no-ops — src/stabilizer.cpp:790 and
+    README "[Not fully implemented yet]"): they anchor and advance the same
+    accumulated transform as ACCUMULATED_FULL_LOCK and split it through the
+    decomposition at step 7.
+  - ORB/SIFT registration locks are dispatched through the same switch; until
+    the descriptor path lands they degrade to the accumulated lock rather
+    than a process-global sticky static (the reference's shared-mutable-state
+    hazard at src/stabilizer.cpp:446 is deliberately not replicated).
+  - The first frame returns the input unchanged (quirk #1) and outputs are
+    flagged invalid during warm-up so the app layer can reproduce the
+    reference's "Buffering frames: k/n" behavior.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_stabilization_tpu.config import StabilizationMode, StabilizerConfig
+from video_stabilization_tpu.engine.smoothing import smoothing_homography
+from video_stabilization_tpu.engine.state import EngineCarry, init_carry
+from video_stabilization_tpu.motion.homography import (
+    HomographyParams,
+    compose_homography,
+    decompose_homography,
+    remove_isotropic_scale,
+)
+from video_stabilization_tpu.motion.ransac import estimate_similarity_ransac
+from video_stabilization_tpu.ops.gftt import good_features_to_track
+from video_stabilization_tpu.ops.image import bgr_to_gray, resize_bilinear
+from video_stabilization_tpu.ops.lk import lk_track
+from video_stabilization_tpu.ops.pyramid import build_pyramid
+from video_stabilization_tpu.ops.warp import _inv3x3, warp_perspective
+
+
+def _rotation_about(theta: jax.Array, center: jax.Array) -> jax.Array:
+    """cv::getRotationMatrix2D(center, theta_deg) equivalent: rotation by
+    -theta (y-down convention) about center, as a 3x3 homography."""
+    p = HomographyParams(
+        scale=jnp.ones_like(theta),
+        theta=-theta,
+        k=jnp.ones_like(theta),
+        delta=jnp.zeros_like(theta),
+        t=jnp.zeros(theta.shape + (2,), theta.dtype),
+        v=jnp.zeros(theta.shape + (2,), theta.dtype),
+    )
+    return compose_homography(p, center)
+
+
+def stabilize_step(
+    carry: EngineCarry,
+    frame: jax.Array,
+    config: StabilizerConfig,
+) -> Tuple[EngineCarry, Tuple[jax.Array, jax.Array]]:
+    """Process one (Hf, Wf, C) uint8 BGR frame; see module docstring."""
+    w = config.total_window
+    future = config.future_frames
+    wh, ww = config.working_size
+    center = jnp.array([ww / 2.0, wh / 2.0], jnp.float32)
+    scale_factor = jnp.float32(config.scale_factor)
+
+    key, k_ransac = jax.random.split(carry.key)
+
+    # -- 1. working-res gray + pyramid ---------------------------------------
+    gray_full = bgr_to_gray(frame)
+    gray = resize_bilinear(gray_full, wh, ww)
+    pyr = build_pyramid(gray, config.lk.pyramid_levels)
+
+    # -- 2-3. track + estimate inter-frame motion ----------------------------
+    tracked = lk_track(carry.pyr_prev, pyr, carry.corners_prev,
+                       carry.corners_mask, config.lk)
+    ransac = estimate_similarity_ransac(
+        carry.corners_prev, tracked.points, tracked.status, k_ransac,
+        config.ransac,
+    )
+    t_rigid, _ = remove_isotropic_scale(ransac.h, center)
+    is_first = carry.n == 0
+    have_prev = carry.n >= 1
+    t_new = jnp.where(have_prev & ransac.valid, t_rigid, jnp.eye(3))
+
+    # -- 4. ring updates ------------------------------------------------------
+    n_after = carry.n + 1
+    slot = jnp.mod(carry.n, w)
+    frames = jax.lax.dynamic_update_slice(
+        carry.frames, frame[None].astype(jnp.uint8), (slot, 0, 0, 0)
+    )
+    # transforms: roll left, write newest at the end (only once two frames
+    # exist; the first frame contributes no transform)
+    def push_transform(args):
+        tr, tv = args
+        tr = jnp.concatenate([tr[1:], t_new[None]], axis=0)
+        tv = jnp.concatenate([tv[1:], jnp.ones((1,), bool)], axis=0)
+        return tr, tv
+
+    transforms, tvalid = jax.lax.cond(
+        have_prev, push_transform, lambda a: a, (carry.transforms, carry.tvalid)
+    )
+
+    # -- window geometry -----------------------------------------------------
+    length = jnp.minimum(n_after, w)                    # frames in window
+    num_tr = length - 1                                 # valid transforms
+    pres = jnp.where(length > future, length - future - 1, 0)
+
+    # -- 5. smoothing --------------------------------------------------------
+    h_smooth = smoothing_homography(
+        transforms, tvalid, pres, num_tr, config.reference_compat
+    )
+
+    # -- 6. accumulated lock --------------------------------------------------
+    # Absolute presentation index advances iff n_after - 1 - future >= 1.
+    lock_modes = (
+        StabilizationMode.ACCUMULATED_FULL_LOCK,
+        StabilizationMode.TRANSLATION_LOCK,
+        StabilizationMode.ROTATION_LOCK,
+        StabilizationMode.ORB_FULL_LOCK,   # degrade to accumulated until ORB lands
+        StabilizationMode.SIFT_FULL_LOCK,
+    )
+    if config.reference_compat:
+        # reference: only ACCUMULATED mode accumulates; ORB/SIFT have their
+        # own registration path; TRANSLATION/ROTATION are no-ops.
+        in_lock_mode = carry.mode == int(StabilizationMode.ACCUMULATED_FULL_LOCK)
+    else:
+        in_lock_mode = jnp.isin(carry.mode, jnp.array([int(m) for m in lock_modes]))
+
+    advanced = (n_after - 1 - future) >= 1
+    # transform into the current presentation frame = chronological index
+    # pres-1 -> array slot (w-1 - num_tr + pres - 1)
+    tr_slot = jnp.clip((transforms.shape[0] - num_tr) + pres - 1, 0, w - 2)
+    t_pres = transforms[tr_slot]
+
+    def lock_update(args):
+        accum_h, active = args
+
+        def anchor(_):
+            return jnp.eye(3, dtype=jnp.float32), jnp.ones((), bool)
+
+        def advance(args2):
+            h, a = args2
+            h2 = jnp.where(
+                advanced,
+                jnp.matmul(t_pres, h, precision=jax.lax.Precision.HIGHEST),
+                h,
+            )
+            return h2, a
+
+        return jax.lax.cond(active, advance, anchor, (accum_h, active))
+
+    def lock_clear(args):
+        return jnp.eye(3, dtype=jnp.float32), jnp.zeros((), bool)
+
+    accum_h, accum_active = jax.lax.cond(
+        in_lock_mode, lock_update, lock_clear, (carry.accum_h, carry.accum_active)
+    )
+    h_lock = _inv3x3(accum_h)
+
+    # -- 7. rotation split ----------------------------------------------------
+    lock_params, lock_ok = decompose_homography(h_lock, center)
+    h_lock = jnp.where(lock_ok, h_lock, jnp.eye(3))
+    r_aug = _rotation_about(lock_params.theta, center)
+    h_translation_lock = jnp.matmul(r_aug, h_lock, precision=jax.lax.Precision.HIGHEST)
+    h_rotation_lock = _rotation_about(-lock_params.theta, center)
+
+    # -- 8. mode switch -------------------------------------------------------
+    branches = [
+        lambda: h_smooth,            # GLOBAL_SMOOTHING = 0
+        lambda: h_lock,              # ACCUMULATED_FULL_LOCK = 1
+        lambda: h_lock,              # ORB_FULL_LOCK = 2 (registration TBD)
+        lambda: h_lock,              # SIFT_FULL_LOCK = 3 (registration TBD)
+        lambda: h_translation_lock,  # TRANSLATION_LOCK = 4
+        lambda: h_rotation_lock,     # ROTATION_LOCK = 5
+    ]
+    h_stabilize = jax.lax.switch(carry.mode, branches)
+
+    # -- 9. rescale + warp ----------------------------------------------------
+    h_scaled = h_stabilize.at[0:2, 2].set(h_stabilize[0:2, 2] / scale_factor)
+    pres_abs = jnp.where(n_after > future, n_after - future - 1, 0)
+    pres_slot = jnp.mod(pres_abs, w)
+    pres_frame = jax.lax.dynamic_slice(
+        frames, (pres_slot, 0, 0, 0), (1,) + frames.shape[1:]
+    )[0].astype(jnp.float32)
+    avg_color = 0.5 * jnp.mean(pres_frame, axis=(0, 1))
+    warped = warp_perspective(pres_frame, h_scaled, border_value=avg_color)
+    warped_u8 = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
+
+    # quirk #1: the first frame is returned unstabilized
+    output = jnp.where(is_first, frame.astype(jnp.uint8), warped_u8)
+    out_valid = jnp.ones((), bool)  # a frame is always emitted (app may buffer)
+
+    # -- 10. features for the next frame --------------------------------------
+    corners = good_features_to_track(gray, config.gftt)
+
+    new_carry = EngineCarry(
+        frames=frames,
+        transforms=transforms,
+        tvalid=tvalid,
+        pyr_prev=pyr,
+        corners_prev=corners.points,
+        corners_mask=corners.mask,
+        n=n_after,
+        mode=carry.mode,
+        accum_h=accum_h,
+        accum_active=accum_active,
+        key=key,
+    )
+    return new_carry, (output, out_valid)
+
+
+def make_step_fn(config: StabilizerConfig) -> Callable:
+    """Jitted (carry, frame) -> (carry, (output, valid)) specialized to config."""
+    return jax.jit(functools.partial(stabilize_step, config=config))
+
+
+class Stabilizer:
+    """Host-side convenience wrapper mirroring the reference's public API
+    (include/stabilizer.hpp:137-198): construct with window sizes, feed frames
+    one at a time, switch modes at runtime.
+
+    For production multi-stream throughput use the functional API directly
+    (``make_step_fn`` + vmap/shard_map, see ``parallel``); this class wraps a
+    single stream.
+    """
+
+    def __init__(self, config: StabilizerConfig, mode: StabilizationMode = StabilizationMode.GLOBAL_SMOOTHING, seed: int = 0):
+        self.config = config
+        self._step = make_step_fn(config)
+        self.carry = init_carry(config, int(mode), jax.random.key(seed))
+
+    def set_stabilization_mode(self, mode: StabilizationMode) -> None:
+        """Switch modes; clears lock state, preserves the frame/transform
+        window (reference: src/stabilizer.cpp:55-96)."""
+        self.carry = self.carry._replace(
+            mode=jnp.asarray(int(mode), jnp.int32),
+            accum_h=jnp.eye(3, dtype=jnp.float32),
+            accum_active=jnp.zeros((), bool),
+        )
+
+    def stabilize_frame(self, frame) -> "jax.Array":
+        """Feed one (Hf, Wf, C) uint8 BGR frame; returns the stabilized
+        (delayed) output frame."""
+        self.carry, (output, _) = self._step(self.carry, jnp.asarray(frame))
+        return output
+
+    @property
+    def total_frame_window_size(self) -> int:
+        return self.config.total_window
