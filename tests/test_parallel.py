@@ -1,0 +1,123 @@
+"""Multi-stream batching + mesh sharding tests (virtual 8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_stabilization_tpu.config import (
+    GFTTConfig,
+    LKConfig,
+    RansacConfig,
+    StabilizationMode,
+    StabilizerConfig,
+)
+from video_stabilization_tpu.parallel import (
+    init_batched_carry,
+    make_batched_step_fn,
+    make_sharded_step_fn,
+    make_stream_mesh,
+)
+from video_stabilization_tpu.parallel.streams import STREAM_AXIS, shard_carry
+from video_stabilization_tpu.sim import (
+    DEFAULT_APP_PARAMS,
+    make_default_texture,
+    render_frame,
+    shake_trajectory,
+)
+
+FH, FW = 120, 160
+
+
+def tiny_config():
+    return StabilizerConfig(
+        past_frames=4, future_frames=2, working_height=100,
+        frame_height=FH, frame_width=FW,
+        gftt=GFTTConfig(max_features=128),
+        lk=LKConfig(max_iters=10),
+        ransac=RansacConfig(num_hypotheses=64),
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_frames():
+    tex = make_default_texture(jax.random.key(0), size=128)
+    frames = []
+    for s in range(4):
+        traj = shake_trajectory(jax.random.key(s), 6, DEFAULT_APP_PARAMS,
+                                pos_amplitude=0.003)
+        frames.append(jax.vmap(lambda p: render_frame(tex, p, FH, FW))(traj))
+    return jnp.stack(frames, axis=1)  # (T, S, H, W, 3)
+
+
+class TestBatchedStep:
+    def test_batched_matches_single(self, stream_frames):
+        cfg = tiny_config()
+        n_streams = stream_frames.shape[1]
+        bstep = make_batched_step_fn(cfg)
+        bcarry = init_batched_carry(cfg, n_streams, 0, jax.random.key(7))
+
+        from video_stabilization_tpu.engine import make_step_fn
+
+        sstep = make_step_fn(cfg)
+        # slice per-stream carries out of the batched one so PRNG keys match
+        scarrys = [
+            jax.tree.map(lambda leaf: leaf[i], bcarry)
+            for i in range(n_streams)
+        ]
+
+        for t in range(stream_frames.shape[0]):
+            bcarry, (bout, _) = bstep(bcarry, stream_frames[t])
+            for s in range(n_streams):
+                scarrys[s], (sout, _) = sstep(scarrys[s], stream_frames[t, s])
+                np.testing.assert_array_equal(
+                    np.asarray(bout[s]), np.asarray(sout),
+                    err_msg=f"stream {s} frame {t} diverged",
+                )
+
+
+class TestShardedStep:
+    def test_runs_on_8_device_mesh(self, stream_frames):
+        assert len(jax.devices()) == 8
+        cfg = tiny_config()
+        mesh = make_stream_mesh()
+        step = make_sharded_step_fn(cfg, mesh)
+        carry = init_batched_carry(cfg, 8, 0, jax.random.key(1))
+        carry = shard_carry(carry, mesh)
+        frames = jnp.tile(stream_frames[0, :1], (8, 1, 1, 1))
+        for t in range(3):
+            carry, (out, valid) = step(carry, frames)
+        assert out.shape == (8, FH, FW, 3)
+        # carry stays sharded across steps
+        shardings = {str(leaf.sharding.spec) for leaf in jax.tree.leaves(carry)
+                     if hasattr(leaf, "sharding") and hasattr(leaf.sharding, "spec")}
+        assert any(STREAM_AXIS in s for s in shardings)
+
+    def test_sharded_matches_batched(self, stream_frames):
+        cfg = tiny_config()
+        mesh = make_stream_mesh()
+        sstep = make_sharded_step_fn(cfg, mesh)
+        bstep = make_batched_step_fn(cfg)
+        carry0 = init_batched_carry(cfg, 8, 0, jax.random.key(2))
+        frames = jnp.tile(stream_frames[0, :1], (8, 1, 1, 1))
+
+        cs = shard_carry(carry0, mesh)
+        cb = carry0
+        for t in range(2):
+            cs, (outs, _) = sstep(cs, frames)
+            cb, (outb, _) = bstep(cb, frames)
+        np.testing.assert_array_equal(np.asarray(outs), np.asarray(outb))
+
+
+class TestGraftEntry:
+    def test_entry(self):
+        import __graft_entry__
+
+        fn, args = __graft_entry__.entry()
+        carry, (out, valid) = jax.jit(fn)(*args)
+        assert out.shape == args[1].shape
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,90 @@
+"""Stream-parallel execution: vmap on one chip, sharded meshes across chips.
+
+The reference is strictly single-stream, single-thread (SURVEY.md §2.5); its
+only parallelism is OpenCV's internal row-threading.  The TPU-native scaling
+model (SURVEY.md §5.8, BASELINE config 5) is:
+
+- **per chip**: ``vmap`` the per-frame step over a batch of independent video
+  streams — one fused program where every kernel (pyramids, LK, RANSAC, warp)
+  processes all streams' data together, keeping the VPU/MXU fed at depths a
+  single 360p stream cannot.
+- **across chips**: shard the stream axis of both the carry and the frame
+  batch over a 1-D device mesh with ``jax.sharding``.  Streams never
+  interact, so XLA inserts **zero collectives** in the steady state — scaling
+  is linear by construction; only metrics aggregation (e.g. mean inlier
+  counts) would ever cross ICI.
+
+Because the carry is an explicit pytree, sharding it is one
+``NamedSharding`` over the leading axis — no NCCL groups, no per-rank state
+objects, no communicators to manage (contrast: a CUDA port would replicate
+the reference's hidden mutable state per GPU and hand-manage streams).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_stabilization_tpu.config import StabilizerConfig
+from video_stabilization_tpu.engine.state import EngineCarry, init_carry
+from video_stabilization_tpu.engine.stabilizer import stabilize_step
+
+STREAM_AXIS = "streams"
+
+
+def init_batched_carry(
+    config: StabilizerConfig, n_streams: int, mode: int, key: jax.Array
+) -> EngineCarry:
+    """Carry pytree with a leading (n_streams,) axis on every leaf."""
+    keys = jax.random.split(key, n_streams)
+    return jax.vmap(lambda k: init_carry(config, mode, k))(keys)
+
+
+def make_batched_step_fn(config: StabilizerConfig) -> Callable:
+    """(carry_batch, frames (S,Hf,Wf,C)) -> (carry_batch, (outputs, valid)) —
+    jitted vmap over streams for single-chip throughput."""
+    step = functools.partial(stabilize_step, config=config)
+    return jax.jit(jax.vmap(step))
+
+
+def make_stream_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """1-D mesh over all (or the given) devices along the stream axis."""
+    devs = list(devices) if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.array(devs), (STREAM_AXIS,))
+
+
+def make_sharded_step_fn(config: StabilizerConfig, mesh: Mesh) -> Callable:
+    """Multi-chip step: streams sharded over the mesh's ``streams`` axis.
+
+    Carry leaves and the frame batch are all partitioned on their leading
+    stream axis; outputs come back with the same sharding so the carry never
+    leaves the devices between frames.
+    """
+    step = functools.partial(stabilize_step, config=config)
+    vstep = jax.vmap(step)
+
+    stream_sharding = NamedSharding(mesh, P(STREAM_AXIS))
+
+    def shard_tree(tree):
+        return jax.tree.map(lambda _: stream_sharding, tree)
+
+    # The carry is a pytree: every leaf gets stream-axis sharding. jit infers
+    # output shardings to match (stream-pure computation => no resharding).
+    def sharded_step(carry, frames):
+        carry = jax.lax.with_sharding_constraint(carry, shard_tree(carry))
+        frames = jax.lax.with_sharding_constraint(frames, stream_sharding)
+        return vstep(carry, frames)
+
+    return jax.jit(sharded_step)
+
+
+def shard_carry(carry: EngineCarry, mesh: Mesh) -> EngineCarry:
+    """Place a batched carry onto the mesh, stream-sharded."""
+    sharding = NamedSharding(mesh, P(STREAM_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), carry)
