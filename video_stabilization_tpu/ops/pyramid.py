@@ -19,8 +19,15 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_K5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+# NOTE: kernel constants are HOST (numpy) arrays on purpose. A module-level
+# jnp (device) array captured inside a jitted function becomes an implicit
+# runtime argument; on the axon TPU runtime that forces a ~25 ms synchronous
+# dispatch AND leaves the process in that slow mode permanently (measured
+# 2026-08-16). Keep compile-time constants host-side; they lower to HLO
+# constants inside the trace.
+_K5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
 
 def _reflect101_pad(img: jax.Array, pad: int, axis: int) -> jax.Array:

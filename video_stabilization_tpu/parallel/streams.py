@@ -44,11 +44,13 @@ def init_batched_carry(
     return jax.vmap(lambda k: init_carry(config, mode, k))(keys)
 
 
+@functools.lru_cache(maxsize=32)
 def make_batched_step_fn(config: StabilizerConfig) -> Callable:
     """(carry_batch, frames (S,Hf,Wf,C)) -> (carry_batch, (outputs, valid)) —
     jitted vmap over streams for single-chip throughput."""
     step = functools.partial(stabilize_step, config=config)
-    return jax.jit(jax.vmap(step))
+    # carry donated: in-place frame-ring updates (see engine.make_step_fn)
+    return jax.jit(jax.vmap(step), donate_argnums=0)
 
 
 def make_stream_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
@@ -81,7 +83,7 @@ def make_sharded_step_fn(config: StabilizerConfig, mesh: Mesh) -> Callable:
         frames = jax.lax.with_sharding_constraint(frames, stream_sharding)
         return vstep(carry, frames)
 
-    return jax.jit(sharded_step)
+    return jax.jit(sharded_step, donate_argnums=0)
 
 
 def shard_carry(carry: EngineCarry, mesh: Mesh) -> EngineCarry:

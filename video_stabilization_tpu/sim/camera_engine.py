@@ -33,8 +33,10 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-SKY_COLOR_BGR = jnp.array([230, 216, 173], jnp.uint8)  # light blue, BGR
+# Host constant (see ops/pyramid.py note on device-array globals).
+SKY_COLOR_BGR = np.array([230, 216, 173], np.uint8)  # light blue, BGR
 _EPS = 1e-9
 
 
