@@ -135,3 +135,98 @@ class TestPyramid:
         assert pyr[1].shape == (180, 320)
         assert pyr[2].shape == (90, 160)
         assert pyr[3].shape == (45, 80)
+
+
+class TestWarpAffineShear:
+    """Gather-free shear warp must match the gather warp / cv2 on affine
+    transforms (interior pixels; multi-pass interpolation differs from 2-D
+    bilinear by design, so tolerance is a few gray levels)."""
+
+    def _check(self, img, h, tol_frac=0.9, tol=3.0):
+        import cv2 as _cv2
+        from video_stabilization_tpu.ops.warp import warp_affine_shear
+
+        ours = np.asarray(warp_affine_shear(jnp.asarray(img), jnp.asarray(h)))
+        ref = _cv2.warpPerspective(
+            img, h.astype(np.float64), (img.shape[1], img.shape[0]),
+            flags=_cv2.INTER_LINEAR,
+        )
+        sel = (ref > 1e-3) & (ours > 1e-3)  # interior (both non-border)
+        diff = np.abs(ours - ref)[sel]
+        assert (diff < tol).mean() > tol_frac, (
+            f"frac within {tol}: {(diff < tol).mean():.3f}"
+        )
+
+    def test_sampling_map_exact(self, rng):
+        """The decisive property: warping coordinate-ramp images measures the
+        effective sampling map, which must equal the analytic inverse map to
+        sub-millipixel accuracy (multi-pass interpolation softens intensities
+        slightly but must not displace content)."""
+        from video_stabilization_tpu.ops.warp import warp_affine_shear
+
+        H2, W2 = 120, 160
+        xr = np.tile(np.arange(W2, dtype=np.float32), (H2, 1))
+        yr = np.tile(np.arange(H2, dtype=np.float32)[:, None], (1, W2))
+        ang = np.deg2rad(3.0)
+        c, s = np.cos(ang), np.sin(ang)
+        h = np.array([[1.004 * c, -1.004 * s, 9.3],
+                      [1.004 * s, 1.004 * c, -4.7], [0, 0, 1]], np.float32)
+        hinv = np.linalg.inv(h.astype(np.float64))
+        ys, xs = np.mgrid[0:H2, 0:W2].astype(np.float64)
+        sx = hinv[0, 0] * xs + hinv[0, 1] * ys + hinv[0, 2]
+        sy = hinv[1, 0] * xs + hinv[1, 1] * ys + hinv[1, 2]
+        ox = np.asarray(warp_affine_shear(jnp.asarray(xr), jnp.asarray(h), border_value=-1))
+        oy = np.asarray(warp_affine_shear(jnp.asarray(yr), jnp.asarray(h), border_value=-1))
+        sel = (ox >= 0) & (oy >= 0) & (sx > 1) & (sx < W2 - 2) & (sy > 1) & (sy < H2 - 2)
+        assert np.abs((ox - sx)[sel]).max() < 2e-2
+        assert np.abs((oy - sy)[sel]).max() < 2e-2
+
+    def test_rigid(self, rng):
+        img = cv2.GaussianBlur(rand_img(rng, 120, 160), (5, 5), 1.0)
+        ang = np.deg2rad(3.0)
+        c, s = np.cos(ang), np.sin(ang)
+        h = np.array([[c, -s, 9.3], [s, c, -4.7], [0, 0, 1]], np.float32)
+        self._check(img, h)
+
+    def test_translation_only(self, rng):
+        img = rand_img(rng, 100, 140)
+        h = np.array([[1, 0, 17.25], [0, 1, -6.5], [0, 0, 1]], np.float32)
+        self._check(img, h, tol=1.0)
+
+    def test_scaled_affine(self, rng):
+        # smoother content: scale-pass resampling of an already-interpolated
+        # signal diverges from direct bilinear on white noise, not on
+        # natural images (the sampling-map test guarantees geometry)
+        img = cv2.GaussianBlur(rand_img(rng, 120, 160), (9, 9), 2.5)
+        h = np.array(
+            [[1.01 * np.cos(0.03), -1.01 * np.sin(0.03), 4.0],
+             [1.01 * np.sin(0.03), 1.01 * np.cos(0.03), 2.0],
+             [0, 0, 1]], np.float32,
+        )
+        self._check(img, h, tol_frac=0.85)
+
+    def test_identity(self, rng):
+        from video_stabilization_tpu.ops.warp import warp_affine_shear
+
+        img = rand_img(rng, 80, 100)
+        out = np.asarray(warp_affine_shear(jnp.asarray(img), jnp.eye(3)))
+        np.testing.assert_allclose(out, img, atol=1e-3)
+
+    def test_color(self, rng):
+        from video_stabilization_tpu.ops.warp import warp_affine_shear
+
+        img = rand_img(rng, 60, 80, 3)
+        h = np.array([[1, 0, 5.0], [0, 1, 3.0], [0, 0, 1]], np.float32)
+        ours = np.asarray(warp_affine_shear(jnp.asarray(img), jnp.asarray(h)))
+        ref = cv2.warpPerspective(img, h.astype(np.float64), (80, 60))
+        sel = ref > 1e-3
+        assert (np.abs(ours - ref)[sel] < 1.0).mean() > 0.95
+
+    def test_border_fill(self, rng):
+        from video_stabilization_tpu.ops.warp import warp_affine_shear
+
+        img = rand_img(rng, 50, 50)
+        h = np.array([[1, 0, 100.0], [0, 1, 0], [0, 0, 1]], np.float32)
+        out = np.asarray(warp_affine_shear(jnp.asarray(img), jnp.asarray(h),
+                                           border_value=7.5))
+        assert np.all(out[:, :90] == 7.5)

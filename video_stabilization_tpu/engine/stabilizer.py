@@ -56,7 +56,7 @@ from video_stabilization_tpu.ops.gftt import good_features_to_track
 from video_stabilization_tpu.ops.image import bgr_to_gray, resize_bilinear
 from video_stabilization_tpu.ops.lk import lk_track
 from video_stabilization_tpu.ops.pyramid import build_pyramid
-from video_stabilization_tpu.ops.warp import _inv3x3, warp_perspective
+from video_stabilization_tpu.ops.warp import _inv3x3, warp_affine_shear
 
 
 def _rotation_about(theta: jax.Array, center: jax.Array) -> jax.Array:
@@ -205,7 +205,9 @@ def stabilize_step(
         frames, (pres_slot, 0, 0, 0), (1,) + frames.shape[1:]
     )[0].astype(jnp.float32)
     avg_color = 0.5 * jnp.mean(pres_frame, axis=(0, 1))
-    warped = warp_perspective(pres_frame, h_scaled, border_value=avg_color)
+    # engine transforms are affine by construction (rigid estimates,
+    # rigid accumulations, averages of rigid) -> gather-free shear warp
+    warped = warp_affine_shear(pres_frame, h_scaled, border_value=avg_color)
     warped_u8 = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
 
     # quirk #1: the first frame is returned unstabilized
