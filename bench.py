@@ -58,6 +58,9 @@ def make_footage(n_frames: int, height: int, width: int):
 
 
 def bench_tpu(frames, past, future, working_height):
+    from video_stabilization_tpu.utils.timing import enable_compile_cache
+
+    enable_compile_cache()
     """Throughput via pipelined dispatch (frames pre-staged in HBM, outputs
     left in HBM until the end), plus a blocking per-frame latency probe.
 

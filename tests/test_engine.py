@@ -12,7 +12,9 @@ import pytest
 from video_stabilization_tpu.config import (
     GFTTConfig,
     LKConfig,
+    ORBConfig,
     RansacConfig,
+    SIFTConfig,
     StabilizationMode,
     StabilizerConfig,
 )
@@ -42,6 +44,10 @@ def small_config(past=8, future=4, compat=False):
         gftt=GFTTConfig(max_features=256),
         lk=LKConfig(max_iters=30),
         ransac=RansacConfig(num_hypotheses=128),
+        # small test frames: the reference's relative-size filter assumes
+        # >=310px working height for ORB's 31px patches — relax it here
+        orb=ORBConfig(max_features=512, n_levels=4, max_keypoint_size_ratio=0.5),
+        sift=SIFTConfig(max_features=256, max_keypoint_size_ratio=0.5),
         reference_compat=compat,
     )
 
@@ -213,3 +219,46 @@ class TestEngineEndToEnd:
             out = stab.stabilize_frame(f)
         assert out.shape == footage[0].shape
         assert int(stab.carry.n) == 12
+
+
+class TestRegistrationLocks:
+    """ORB/SIFT registration lock modes end-to-end (reference:
+    src/stabilizer.cpp:440-788): the view must freeze onto the reference
+    frame captured at mode entry, with no cumulative drift."""
+
+    def _run_lock(self, footage, mode):
+        cfg = small_config(past=4, future=2)
+        stab = Stabilizer(cfg, mode)
+        outs = [np.asarray(stab.stabilize_frame(f)) for f in footage]
+        return np.stack(outs).astype(np.float32), stab
+
+    def _jitter(self, seq, crop=(slice(60, 180), slice(80, 240))):
+        return np.abs(np.diff(seq[8:, crop[0], crop[1]], axis=0)).mean()
+
+    def test_orb_lock_freezes_view(self, footage):
+        outs, stab = self._run_lock(
+            footage[:20], StabilizationMode.ORB_FULL_LOCK
+        )
+        raw = footage[:18].astype(np.float32)
+        assert bool(stab.carry.orb_ref.is_set)
+        assert self._jitter(outs) < 0.6 * self._jitter(raw)
+
+    def test_sift_lock_freezes_view(self, footage):
+        outs, stab = self._run_lock(
+            footage[:20], StabilizationMode.SIFT_FULL_LOCK
+        )
+        raw = footage[:18].astype(np.float32)
+        assert bool(stab.carry.sift_ref.is_set)
+        assert self._jitter(outs) < 0.6 * self._jitter(raw)
+
+    def test_mode_switch_recaptures_reference(self, footage):
+        cfg = small_config(past=4, future=2)
+        stab = Stabilizer(cfg, StabilizationMode.ORB_FULL_LOCK)
+        for f in footage[:8]:
+            stab.stabilize_frame(f)
+        assert bool(stab.carry.orb_ref.is_set)
+        stab.set_stabilization_mode(StabilizationMode.GLOBAL_SMOOTHING)
+        assert not bool(stab.carry.orb_ref.is_set)  # lock state cleared
+        stab.set_stabilization_mode(StabilizationMode.ORB_FULL_LOCK)
+        stab.stabilize_frame(footage[8])
+        assert bool(stab.carry.orb_ref.is_set)  # new reference captured

@@ -1,0 +1,146 @@
+"""IO layer + CLI argument tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from video_stabilization_tpu.cli.args import parse_args
+from video_stabilization_tpu.io import SimulatorSource, VideoWriter
+from video_stabilization_tpu.io.native import (
+    NativeFrameRing,
+    NativeY4MReader,
+    PrefetchingFileSource,
+)
+
+
+class TestArgs:
+    def test_requires_exactly_one_source(self, capsys):
+        with pytest.raises(SystemExit):
+            parse_args([])
+        with pytest.raises(SystemExit):
+            parse_args(["--simulator", "--camera", "0"])
+
+    def test_simulator_defaults(self):
+        cfg = parse_args(["--simulator"])
+        assert cfg.input_mode == "simulator"
+        assert cfg.past_window_secs == 2.0
+        assert cfg.future_window_secs == 1.5
+        assert cfg.working_height == 360
+
+    def test_file_mode(self):
+        cfg = parse_args(["--file", "/tmp/x.mp4", "--working-height", "720"])
+        assert cfg.input_mode == "file"
+        assert cfg.file_path == "/tmp/x.mp4"
+        assert cfg.working_height == 720
+
+    def test_window_constraint(self):
+        # total window below 0.030 s is rejected (reference:
+        # src/main_utils.cpp:10, :209-216)
+        with pytest.raises(SystemExit):
+            parse_args(["--simulator", "--past-window", "0.0",
+                        "--future-window", "0.0"])
+
+    def test_height_constraint(self):
+        with pytest.raises(SystemExit):
+            parse_args(["--simulator", "--working-height", "90"])
+        with pytest.raises(SystemExit):
+            parse_args(["--simulator", "--working-height", "2161"])
+
+    def test_negative_window_rejected(self):
+        with pytest.raises(SystemExit):
+            parse_args(["--simulator", "--past-window", "-1"])
+
+
+class TestSimulatorSource:
+    def test_render_and_move(self):
+        src = SimulatorSource(frame_size=(120, 160))
+        f0 = src.read()
+        assert f0.shape == (120, 160, 3) and f0.dtype == np.uint8
+        src.move("d")      # move right
+        f1 = src.read()
+        assert not np.array_equal(f0, f1)
+        src.move("p")      # reset pose
+        f2 = src.read()
+        np.testing.assert_array_equal(f0, f2)
+
+    def test_pose_text(self):
+        src = SimulatorSource(frame_size=(60, 80))
+        lines = src.pose_text()
+        assert len(lines) == 2 and "pos" in lines[0]
+
+
+class TestNative:
+    def test_ring_fifo_order(self):
+        ring = NativeFrameRing(4, (4, 4, 3))
+        frames = [np.full((4, 4, 3), i, np.uint8) for i in range(4)]
+        for f in frames:
+            assert ring.push(f)
+        for f in frames:
+            np.testing.assert_array_equal(ring.pop(), f)
+        ring.close()
+        assert ring.pop(timeout_ms=50) is None
+
+    def test_ring_blocking_timeout(self):
+        ring = NativeFrameRing(1, (2, 2, 3))
+        assert ring.push(np.zeros((2, 2, 3), np.uint8))
+        # full: push times out
+        assert not ring.push(np.zeros((2, 2, 3), np.uint8), timeout_ms=50)
+
+    def test_y4m_roundtrip(self, tmp_path):
+        path = str(tmp_path / "clip.y4m")
+        w = VideoWriter(path, 30, (16, 24))
+        frames = [
+            np.random.default_rng(i).integers(0, 255, (16, 24, 3)).astype(np.uint8)
+            for i in range(3)
+        ]
+        for f in frames:
+            w.write(f)
+        w.close()
+
+        r = NativeY4MReader(path)
+        assert r.frame_size == (16, 24)
+        for f in frames:
+            got = r.read()
+            assert np.abs(got.astype(int) - f.astype(int)).mean() < 4.0
+        assert r.read() is None
+        r.close()
+
+    def test_prefetching_source(self, tmp_path):
+        path = str(tmp_path / "clip.y4m")
+        w = VideoWriter(path, 30, (12, 16))
+        frames = [np.full((12, 16, 3), i * 10, np.uint8) for i in range(6)]
+        for f in frames:
+            w.write(f)
+        w.close()
+
+        src = PrefetchingFileSource(NativeY4MReader(path), depth=3)
+        got = []
+        while True:
+            f = src.read()
+            if f is None:
+                break
+            got.append(f)
+        assert len(got) == 6
+        src.close()
+
+
+class TestHeadlessApp:
+    def test_simulator_headless_run(self, tmp_path):
+        from video_stabilization_tpu.cli.app import run
+        from video_stabilization_tpu.cli.args import AppConfig
+
+        out = str(tmp_path / "out.y4m")
+        cfg = AppConfig(
+            input_mode="simulator", past_window_secs=0.2,
+            future_window_secs=0.1, working_height=180,
+            output=out, max_frames=12, display=False,
+        )
+        assert run(cfg) == 0
+        assert os.path.exists(out)
+        r = NativeY4MReader(out)
+        count = 0
+        while r.read() is not None:
+            count += 1
+        # 12 frames, future window 3 -> first 3 buffered, 9 written
+        assert count >= 6

@@ -1,0 +1,189 @@
+"""The interactive / headless application loop.
+
+Mirrors the reference's main loop (src/main.cpp:185-260 +
+src/main_utils.cpp): input-source factory, window sizing from
+window-seconds x fps, keyboard mode switching, simulator movement keys, the
+display sync buffer that delays the original feed by ``future_frames`` so
+both windows are temporally aligned (src/main_utils.cpp:459-493), FPS and
+camera-pose overlays, and "Buffering frames: k/n" warm-up messages.
+
+Additions: headless operation (--no-display/--output/--max-frames), which
+the GUI-only reference cannot do.
+"""
+
+from __future__ import annotations
+
+import collections
+import sys
+import time
+
+import numpy as np
+
+from video_stabilization_tpu.cli.args import AppConfig, MODE_NAMES, parse_args
+from video_stabilization_tpu.config import StabilizationMode, StabilizerConfig
+from video_stabilization_tpu.io import SimulatorSource, VideoWriter, open_source
+from video_stabilization_tpu.utils.timing import StageTimer
+
+# keyboard -> mode (reference: handleStabilizationControls,
+# src/main_utils.cpp:371-395)
+MODE_KEYS = {
+    "x": StabilizationMode.GLOBAL_SMOOTHING,
+    "f": StabilizationMode.ACCUMULATED_FULL_LOCK,
+    "o": StabilizationMode.ORB_FULL_LOCK,
+    "l": StabilizationMode.SIFT_FULL_LOCK,
+    "t": StabilizationMode.TRANSLATION_LOCK,
+    "r": StabilizationMode.ROTATION_LOCK,
+    "g": StabilizationMode.GLOBAL_SMOOTHING,
+}
+SIM_KEYS = "wsadqec p"
+
+
+def _put_text(img, lines, origin=(8, 20)):
+    try:
+        import cv2
+    except Exception:
+        return img
+    x, y = origin
+    for line in lines:
+        size, _ = cv2.getTextSize(line, cv2.FONT_HERSHEY_SIMPLEX, 0.5, 1)
+        cv2.rectangle(img, (x - 2, y - size[1] - 4), (x + size[0] + 2, y + 4),
+                      (0, 0, 0), -1)
+        cv2.putText(img, line, (x, y), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                    (255, 255, 255), 1, cv2.LINE_AA)
+        y += size[1] + 10
+    return img
+
+
+def main(argv=None) -> int:
+    cfg = parse_args(argv)
+    return run(cfg)
+
+
+def run(cfg: AppConfig) -> int:
+    import jax
+
+    from video_stabilization_tpu.engine import Stabilizer
+    from video_stabilization_tpu.utils.timing import enable_compile_cache
+
+    enable_compile_cache()
+
+    source = open_source(
+        cfg.input_mode, path=cfg.file_path, camera_id=cfg.camera_id,
+        texture=cfg.texture,
+    )
+    fps = source.fps
+    fh, fw = source.frame_size
+
+    # window sizing: frames = seconds x fps (reference: src/main.cpp:205-207)
+    past = max(0, int(round(cfg.past_window_secs * fps)))
+    future = max(0, int(round(cfg.future_window_secs * fps)))
+    if past == 0 and future == 0:
+        past = 1
+
+    engine_cfg = StabilizerConfig(
+        past_frames=past, future_frames=future,
+        working_height=cfg.working_height,
+        frame_height=fh, frame_width=fw,
+        reference_compat=cfg.reference_compat,
+    )
+    mode = StabilizationMode[MODE_NAMES[cfg.mode]]
+    stab = Stabilizer(engine_cfg, mode)
+
+    print(f"[app] source: {cfg.input_mode} {fw}x{fh} @ {fps:.1f} fps")
+    print(f"[app] window: past={past} future={future} frames "
+          f"(delay {future / fps:.2f}s), working height {cfg.working_height}")
+    print("[app] controls: X/G smoothing | F accumulated lock | O ORB lock | "
+          "L SIFT lock | T translation lock | R rotation lock | ESC quit")
+    if cfg.input_mode == "simulator":
+        print("[app] simulator: W/S/A/D move, Q/E roll, SPACE/C up/down, P reset")
+
+    writer = None
+    if cfg.output:
+        writer = VideoWriter(cfg.output, fps, (fh, fw))
+
+    display = cfg.display
+    if display:
+        try:
+            import cv2
+            cv2.namedWindow("Original Camera Feed", cv2.WINDOW_NORMAL)
+            cv2.namedWindow("Stabilized Output", cv2.WINDOW_NORMAL)
+        except Exception as e:
+            print(f"[app] display unavailable ({e}); running headless",
+                  file=sys.stderr)
+            display = False
+
+    # display sync buffer: delay originals so both views align
+    # (reference: src/main_utils.cpp:459-493)
+    original_buffer: collections.deque = collections.deque()
+    timer = StageTimer()
+    n = 0
+    t_prev = time.perf_counter()
+    try:
+        while True:
+            if cfg.max_frames is not None and n >= cfg.max_frames:
+                break
+
+            key = None
+            if display:
+                import cv2
+                k = cv2.waitKey(1) & 0xFF
+                if k == 27:
+                    break
+                if k != 255:
+                    key = chr(k).lower()
+
+            if key is not None and key in MODE_KEYS:
+                stab.set_stabilization_mode(MODE_KEYS[key])
+                print(f"[app] mode -> {MODE_KEYS[key].name}")
+            elif key is not None and key in SIM_KEYS and isinstance(source, SimulatorSource):
+                source.move(key)
+
+            frame = source.read()
+            if frame is None:
+                print("[app] end of stream")
+                break
+
+            out = stab.stabilize_frame(frame)
+            original_buffer.append(frame)
+            n += 1
+
+            now = time.perf_counter()
+            timer.record("frame", (now - t_prev) * 1000.0)
+            t_prev = now
+
+            if len(original_buffer) <= future:
+                print(f"Buffering frames: {len(original_buffer)}/{future + 1}")
+                continue
+            delayed = original_buffer.popleft()
+
+            out_np = np.asarray(out)
+            if writer is not None:
+                writer.write(out_np)
+
+            if display:
+                import cv2
+                fps_now = 1000.0 / max(timer.averages().get("frame", 1.0), 1e-3)
+                overlay = [f"FPS: {fps_now:.1f}"]
+                if isinstance(source, SimulatorSource):
+                    overlay += source.pose_text()
+                disp = _put_text(delayed.copy(), overlay)
+                cv2.imshow("Original Camera Feed", disp)
+                cv2.imshow("Stabilized Output", out_np)
+    finally:
+        source.close()
+        if writer is not None:
+            writer.close()
+        if display:
+            try:
+                import cv2
+                cv2.destroyAllWindows()
+            except Exception:
+                pass
+
+    avg = timer.averages().get("frame", float("nan"))
+    print(f"[app] processed {n} frames, avg {avg:.1f} ms/frame")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

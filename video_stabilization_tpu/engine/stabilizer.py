@@ -43,8 +43,9 @@ import jax
 import jax.numpy as jnp
 
 from video_stabilization_tpu.config import StabilizationMode, StabilizerConfig
+from video_stabilization_tpu.engine.lock import orb_lock, sift_lock
 from video_stabilization_tpu.engine.smoothing import smoothing_homography
-from video_stabilization_tpu.engine.state import EngineCarry, init_carry
+from video_stabilization_tpu.engine.state import EngineCarry, RegistrationRef, init_carry
 from video_stabilization_tpu.motion.homography import (
     HomographyParams,
     compose_homography,
@@ -127,26 +128,33 @@ def stabilize_step(
     num_tr = length - 1                                 # valid transforms
     pres = jnp.where(length > future, length - future - 1, 0)
 
+    # presentation frame (needed by both the registration locks and the warp)
+    pres_abs = jnp.where(n_after > future, n_after - future - 1, 0)
+    pres_slot = jnp.mod(pres_abs, w)
+    pres_frame = jax.lax.dynamic_slice(
+        frames, (pres_slot, 0, 0, 0), (1,) + frames.shape[1:]
+    )[0].astype(jnp.float32)
+
     # -- 5. smoothing --------------------------------------------------------
     h_smooth = smoothing_homography(
         transforms, tvalid, pres, num_tr, config.reference_compat
     )
 
-    # -- 6. accumulated lock --------------------------------------------------
+    # -- 6. lock transform (accumulated / ORB / SIFT) -------------------------
     # Absolute presentation index advances iff n_after - 1 - future >= 1.
-    lock_modes = (
+    accum_modes = (
         StabilizationMode.ACCUMULATED_FULL_LOCK,
         StabilizationMode.TRANSLATION_LOCK,
         StabilizationMode.ROTATION_LOCK,
-        StabilizationMode.ORB_FULL_LOCK,   # degrade to accumulated until ORB lands
-        StabilizationMode.SIFT_FULL_LOCK,
     )
     if config.reference_compat:
-        # reference: only ACCUMULATED mode accumulates; ORB/SIFT have their
-        # own registration path; TRANSLATION/ROTATION are no-ops.
-        in_lock_mode = carry.mode == int(StabilizationMode.ACCUMULATED_FULL_LOCK)
+        # reference: TRANSLATION/ROTATION locks are no-ops (H_lock identity,
+        # src/stabilizer.cpp:790); only ACCUMULATED accumulates.
+        in_accum_mode = carry.mode == int(StabilizationMode.ACCUMULATED_FULL_LOCK)
     else:
-        in_lock_mode = jnp.isin(carry.mode, jnp.array([int(m) for m in lock_modes]))
+        in_accum_mode = jnp.isin(
+            carry.mode, jnp.array([int(m) for m in accum_modes])
+        )
 
     advanced = (n_after - 1 - future) >= 1
     # transform into the current presentation frame = chronological index
@@ -174,10 +182,39 @@ def stabilize_step(
     def lock_clear(args):
         return jnp.eye(3, dtype=jnp.float32), jnp.zeros((), bool)
 
-    accum_h, accum_active = jax.lax.cond(
-        in_lock_mode, lock_update, lock_clear, (carry.accum_h, carry.accum_active)
+    key, k_lock = jax.random.split(key)
+
+    def accum_branch(_):
+        accum_h, accum_active = jax.lax.cond(
+            in_accum_mode, lock_update, lock_clear,
+            (carry.accum_h, carry.accum_active),
+        )
+        return (
+            _inv3x3(accum_h), accum_h, accum_active,
+            carry.orb_ref, carry.sift_ref, carry.lock_prev_h,
+        )
+
+    def orb_branch(_):
+        res = orb_lock(pres_frame, carry.orb_ref, carry.lock_prev_h, k_lock, config)
+        return (
+            res.h_lock, jnp.eye(3, dtype=jnp.float32), jnp.zeros((), bool),
+            res.ref, carry.sift_ref, res.prev_h,
+        )
+
+    def sift_branch(_):
+        res = sift_lock(pres_frame, carry.sift_ref, carry.lock_prev_h, k_lock, config)
+        return (
+            res.h_lock, jnp.eye(3, dtype=jnp.float32), jnp.zeros((), bool),
+            carry.orb_ref, res.ref, res.prev_h,
+        )
+
+    branch_idx = jnp.where(
+        carry.mode == int(StabilizationMode.ORB_FULL_LOCK), 1,
+        jnp.where(carry.mode == int(StabilizationMode.SIFT_FULL_LOCK), 2, 0),
     )
-    h_lock = _inv3x3(accum_h)
+    (h_lock, accum_h, accum_active, orb_ref, sift_ref, lock_prev_h) = (
+        jax.lax.switch(branch_idx, [accum_branch, orb_branch, sift_branch], None)
+    )
 
     # -- 7. rotation split ----------------------------------------------------
     lock_params, lock_ok = decompose_homography(h_lock, center)
@@ -199,11 +236,6 @@ def stabilize_step(
 
     # -- 9. rescale + warp ----------------------------------------------------
     h_scaled = h_stabilize.at[0:2, 2].set(h_stabilize[0:2, 2] / scale_factor)
-    pres_abs = jnp.where(n_after > future, n_after - future - 1, 0)
-    pres_slot = jnp.mod(pres_abs, w)
-    pres_frame = jax.lax.dynamic_slice(
-        frames, (pres_slot, 0, 0, 0), (1,) + frames.shape[1:]
-    )[0].astype(jnp.float32)
     avg_color = 0.5 * jnp.mean(pres_frame, axis=(0, 1))
     # engine transforms are affine by construction (rigid estimates,
     # rigid accumulations, averages of rigid) -> gather-free shear warp
@@ -228,6 +260,9 @@ def stabilize_step(
         mode=carry.mode,
         accum_h=accum_h,
         accum_active=accum_active,
+        orb_ref=orb_ref,
+        sift_ref=sift_ref,
+        lock_prev_h=lock_prev_h,
         key=key,
     )
     return new_carry, (output, out_valid)
@@ -269,10 +304,24 @@ class Stabilizer:
     def set_stabilization_mode(self, mode: StabilizationMode) -> None:
         """Switch modes; clears lock state, preserves the frame/transform
         window (reference: src/stabilizer.cpp:55-96)."""
+        import jax.numpy as _jnp
+
+        def _cleared(ref):
+            return RegistrationRef(
+                points=_jnp.zeros_like(ref.points),
+                desc=_jnp.zeros_like(ref.desc),
+                mask=_jnp.zeros_like(ref.mask),
+                gray=_jnp.zeros_like(ref.gray),
+                is_set=_jnp.zeros((), bool),
+            )
+
         self.carry = self.carry._replace(
-            mode=jnp.asarray(int(mode), jnp.int32),
-            accum_h=jnp.eye(3, dtype=jnp.float32),
-            accum_active=jnp.zeros((), bool),
+            mode=_jnp.asarray(int(mode), _jnp.int32),
+            accum_h=_jnp.eye(3, dtype=_jnp.float32),
+            accum_active=_jnp.zeros((), bool),
+            orb_ref=_cleared(self.carry.orb_ref),
+            sift_ref=_cleared(self.carry.sift_ref),
+            lock_prev_h=_jnp.eye(3, dtype=_jnp.float32),
         )
 
     def stabilize_frame(self, frame) -> "jax.Array":

@@ -32,6 +32,18 @@ import jax.numpy as jnp
 from video_stabilization_tpu.config import StabilizerConfig
 
 
+class RegistrationRef(NamedTuple):
+    """Reference-frame features for the ORB/SIFT registration locks
+    (reference state: referenceKeypoints_/referenceDescriptors_,
+    include/stabilizer.hpp:430-459)."""
+
+    points: jax.Array     # (N, 2) f32 keypoint locations (working res)
+    desc: jax.Array       # (N, D) descriptor matrix (int8 ORB / f32 SIFT)
+    mask: jax.Array       # (N,) bool
+    gray: jax.Array       # (wh, ww) f32 preprocessed reference gray (for ECC)
+    is_set: jax.Array     # () bool — reference captured
+
+
 class EngineCarry(NamedTuple):
     # Temporal window -------------------------------------------------------
     frames: jax.Array       # (W, Hf, Wf, C) uint8, circular by abs index % W
@@ -47,6 +59,12 @@ class EngineCarry(NamedTuple):
     # Accumulated-lock state (reference: accumulatedTransform_) -------------
     accum_h: jax.Array      # (3, 3) f32
     accum_active: jax.Array  # () bool — anchor captured
+    # Registration-lock state ------------------------------------------------
+    orb_ref: RegistrationRef
+    sift_ref: RegistrationRef
+    # Last good lock transform — the reference's sticky fallback
+    # (src/stabilizer.cpp:446) but per-instance, not a process-wide static.
+    lock_prev_h: jax.Array  # (3, 3) f32
     # PRNG for RANSAC hypothesis sampling -----------------------------------
     key: jax.Array
 
@@ -64,6 +82,15 @@ def init_carry(config: StabilizerConfig, mode: int, key: jax.Array) -> EngineCar
         pyr.append(jnp.zeros((h_l, w_l), jnp.float32))
         h_l, w_l = -(-h_l // 2), -(-w_l // 2)
 
+    def empty_ref(n_kp: int, desc_dim: int, desc_dtype) -> RegistrationRef:
+        return RegistrationRef(
+            points=jnp.zeros((n_kp, 2), jnp.float32),
+            desc=jnp.zeros((n_kp, desc_dim), desc_dtype),
+            mask=jnp.zeros((n_kp,), bool),
+            gray=jnp.zeros((wh, ww), jnp.float32),
+            is_set=jnp.zeros((), bool),
+        )
+
     return EngineCarry(
         frames=jnp.zeros((w, hf, wf, c), jnp.uint8),
         transforms=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (w - 1, 3, 3)),
@@ -75,5 +102,8 @@ def init_carry(config: StabilizerConfig, mode: int, key: jax.Array) -> EngineCar
         mode=jnp.asarray(mode, jnp.int32),
         accum_h=jnp.eye(3, dtype=jnp.float32),
         accum_active=jnp.zeros((), bool),
+        orb_ref=empty_ref(config.orb.max_features, 256, jnp.int8),
+        sift_ref=empty_ref(config.sift.max_features, 128, jnp.float32),
+        lock_prev_h=jnp.eye(3, dtype=jnp.float32),
         key=key,
     )

@@ -57,6 +57,35 @@ CENTROID_X = np.asarray(_xx * _CIRC, np.float32)
 CENTROID_Y = np.asarray(_yy * _CIRC, np.float32)
 
 
+def _fix_capacity(feats: "ORBFeatures", cap: int) -> "ORBFeatures":
+    """Pad or top-k-truncate to exactly ``cap`` keypoint slots so the output
+    shape is independent of how many pyramid levels fit the image (small
+    frames break out of the level loop early)."""
+    n = feats.points.shape[0]
+    if n == cap:
+        return feats
+    if n < cap:
+        pad = cap - n
+        return ORBFeatures(
+            points=jnp.pad(feats.points, ((0, pad), (0, 0))),
+            angle=jnp.pad(feats.angle, (0, pad)),
+            response=jnp.pad(feats.response, (0, pad)),
+            size=jnp.pad(feats.size, (0, pad)),
+            desc=jnp.pad(feats.desc, ((0, pad), (0, 0))),
+            mask=jnp.pad(feats.mask, (0, pad)),
+        )
+    score = jnp.where(feats.mask, feats.response, -jnp.inf)
+    _, idx = jax.lax.top_k(score, cap)
+    return ORBFeatures(
+        points=feats.points[idx],
+        angle=feats.angle[idx],
+        response=feats.response[idx],
+        size=feats.size[idx],
+        desc=feats.desc[idx],
+        mask=feats.mask[idx],
+    )
+
+
 class ORBFeatures(NamedTuple):
     points: jax.Array     # (N, 2) float32, level-0 pixel coords (x, y)
     angle: jax.Array      # (N,) float32 radians
@@ -185,15 +214,15 @@ def orb_detect_and_compute(
         nw = int(round(w / (config.scale_factor ** (level + 1))))
         level_img = resize_bilinear(img, nh, nw)
 
-    pts = jnp.concatenate(all_pts, axis=0)
     feats = ORBFeatures(
-        points=pts,
+        points=jnp.concatenate(all_pts, axis=0),
         angle=jnp.concatenate(all_ang),
         response=jnp.concatenate(all_resp),
         size=jnp.concatenate(all_size),
         desc=jnp.concatenate(all_desc, axis=0),
         mask=jnp.concatenate(all_mask),
     )
+    feats = _fix_capacity(feats, config.max_features)
     # relative keypoint-size filter (reference: filterKeypointByRelativeSize,
     # src/stabilizer.cpp:290-309, max ratio 0.10 for ORB)
     keep = feats.size <= (h * config.max_keypoint_size_ratio)

@@ -82,3 +82,19 @@ class StageTimer:
         parts = [f"{k}: {v:.2f} ms (n={self._count[k]})" for k, v in self._avg.items()]
         msg = "[timings] " + "; ".join(parts)
         print(msg, file=out)
+
+
+def enable_compile_cache(path: str = "/root/.cache/vstab_jax_cache") -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The full engine step with all lock branches compiles for minutes on the
+    remote-compile TPU path; the on-disk cache makes every later process
+    start instantly for the same config.
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
