@@ -263,6 +263,7 @@ def stabilize_step(
         orb_ref=orb_ref,
         sift_ref=sift_ref,
         lock_prev_h=lock_prev_h,
+        last_h=h_stabilize,
         key=key,
     )
     return new_carry, (output, out_valid)

@@ -65,6 +65,9 @@ class EngineCarry(NamedTuple):
     # Last good lock transform — the reference's sticky fallback
     # (src/stabilizer.cpp:446) but per-instance, not a process-wide static.
     lock_prev_h: jax.Array  # (3, 3) f32
+    # Last applied stabilization transform (working res) — observability /
+    # drift benchmarking (the reference exposes nothing; SURVEY.md §5.5).
+    last_h: jax.Array       # (3, 3) f32
     # PRNG for RANSAC hypothesis sampling -----------------------------------
     key: jax.Array
 
@@ -105,5 +108,6 @@ def init_carry(config: StabilizerConfig, mode: int, key: jax.Array) -> EngineCar
         orb_ref=empty_ref(config.orb.max_features, 256, jnp.int8),
         sift_ref=empty_ref(config.sift.max_features, 128, jnp.float32),
         lock_prev_h=jnp.eye(3, dtype=jnp.float32),
+        last_h=jnp.eye(3, dtype=jnp.float32),
         key=key,
     )
