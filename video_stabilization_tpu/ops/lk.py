@@ -95,22 +95,19 @@ def _ssd_displacement(region: jax.Array, templ: jax.Array, srange: int):
     n, win = templ.shape[0], templ.shape[1]
     side = 2 * srange + 1
 
-    # scan over shift ROWS only; the `side` column shifts within a row come
-    # from static slices of one (N, win, win+side-1) strip — `side` x fewer
-    # sequential steps than a per-shift scan
-    def body(carry, sy):
-        strip = jax.lax.dynamic_slice(
-            region, (0, sy, 0), (n, win, win + side - 1)
-        )
-        wins = jnp.stack(
-            [strip[:, :, sx : sx + win] for sx in range(side)], axis=1
-        )                                                  # (N, side, win, win)
-        diff = wins - templ[:, None]
-        ssd_row = jnp.sum(diff * diff, axis=(2, 3))        # (N, side)
-        return carry, ssd_row
-
-    _, rows = jax.lax.scan(body, None, jnp.arange(side))
-    surface = jnp.transpose(rows, (1, 0, 2)).reshape(n, side * side)
+    # fully unrolled: every (sy, sx) window is a STATIC slice of the region,
+    # so XLA fuses the whole surface into one parallel reduce — no sequential
+    # scan steps (a row-scan version was loop-overhead-bound on TPU).
+    # SSD(w) = ||w||² − 2<w, t> + ||t||²; ||t||² is shift-independent and
+    # drops out of the argmin, halving the elementwise work.
+    t2 = jnp.sum(templ * templ, axis=(1, 2), keepdims=False)   # (N,)
+    rows = []
+    for sy in range(side):
+        strip = region[:, sy : sy + win, :]                    # (N, win, R)
+        for sx in range(side):
+            w = strip[:, :, sx : sx + win]
+            rows.append(jnp.sum(w * (w - 2.0 * templ), axis=(1, 2)))
+    surface = jnp.stack(rows, axis=1) + t2[:, None]            # (N, side²)
 
     best = jnp.argmin(surface, axis=1)
     by = best // side
@@ -209,10 +206,16 @@ def lk_track(
             min_eig_ok = good_tensor
 
         # --- SSD sweep over shared integer shifts ---------------------------
-        tl_j = p_l + g - (half + rng) + pad
-        region = _extract_patches(img_j, tl_j, win + 2 * rng)
-        disp, _ = _ssd_displacement(region, ipatch, rng)
-        v = jnp.where(level_ok[:, None], disp, 0.0)
+        # Skipped at the finest level: the coarse levels localize the flow to
+        # within ~1 px there, squarely inside the Newton polish's basin —
+        # saving the most expensive region extraction + surface sweep.
+        if level > 0:
+            tl_j = p_l + g - (half + rng) + pad
+            region = _extract_patches(img_j, tl_j, win + 2 * rng)
+            disp, _ = _ssd_displacement(region, ipatch, rng)
+            v = jnp.where(level_ok[:, None], disp, 0.0)
+        else:
+            v = jnp.zeros_like(g)
 
         # --- LK Newton polish (finest level only) ---------------------------
         if level == 0:
