@@ -98,3 +98,15 @@ def enable_compile_cache(path: str = "/root/.cache/vstab_jax_cache") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def profiler_trace(log_dir: str = "/tmp/vstab_trace"):
+    """Context manager: capture a JAX profiler trace of the enclosed work.
+
+    The TPU-side replacement for the reference's rolling wall-clock timers
+    (src/stabilizer.cpp:982-1009): open the resulting trace in
+    TensorBoard/Perfetto to see per-fusion device timings of the step.
+    """
+    import jax
+
+    return jax.profiler.trace(log_dir)
