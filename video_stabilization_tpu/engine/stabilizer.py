@@ -25,10 +25,10 @@ Differences from the reference, by design:
     README "[Not fully implemented yet]"): they anchor and advance the same
     accumulated transform as ACCUMULATED_FULL_LOCK and split it through the
     decomposition at step 7.
-  - ORB/SIFT registration locks are dispatched through the same switch; until
-    the descriptor path lands they degrade to the accumulated lock rather
-    than a process-global sticky static (the reference's shared-mutable-state
-    hazard at src/stabilizer.cpp:446 is deliberately not replicated).
+  - ORB/SIFT registration locks run the full detect/describe/match/fit
+    pipeline (engine/lock.py) with a per-instance sticky fallback in the
+    carry (the reference's process-global mutable static at
+    src/stabilizer.cpp:446 is deliberately not replicated).
   - The first frame returns the input unchanged (quirk #1) and outputs are
     flagged invalid during warm-up so the app layer can reproduce the
     reference's "Buffering frames: k/n" behavior.

@@ -25,7 +25,6 @@ Design:
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import numpy as np

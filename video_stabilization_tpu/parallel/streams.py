@@ -26,7 +26,7 @@ import functools
 from typing import Callable, Sequence
 
 import jax
-import jax.numpy as jnp
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from video_stabilization_tpu.config import StabilizerConfig
