@@ -36,7 +36,10 @@ def log(msg):
 
 def make_footage(n_frames, height, width, n_streams=1):
     """Render simulator footage ON DEVICE and leave it there (no host fetch:
-    the first D2H flips the relay into slow synchronous dispatch)."""
+    the first D2H flips the relay into slow synchronous dispatch).
+
+    Returns (streams, trajectory-of-stream-0) — the trajectory yields
+    analytic ground-truth homographies for fidelity metrics."""
     import jax
 
     from video_stabilization_tpu.sim import (
@@ -47,16 +50,54 @@ def make_footage(n_frames, height, width, n_streams=1):
     tex = make_default_texture(jax.random.key(0), size=512)
     render = jax.jit(lambda t, p: render_frame(t, p, height, width))
     streams = []
+    traj0 = None
     for s in range(n_streams):
         traj = shake_trajectory(
             jax.random.key(5 + s), n_frames, DEFAULT_APP_PARAMS,
             pos_amplitude=0.004, roll_amplitude=0.3,
         )
+        if s == 0:
+            traj0 = traj
         frames = [render(tex, jax.tree.map(lambda x: x[i], traj))
                   for i in range(n_frames)]
         streams.append(frames)
     jax.block_until_ready(streams[-1][-1])
-    return streams if n_streams > 1 else streams[0]
+    return (streams if n_streams > 1 else streams[0]), traj0
+
+
+def analytic_smoothing_truth(traj, n_frames, wh, ww, past, future):
+    """Ground-truth smoothing transforms: analytic inter-frame homographies
+    at working resolution run through the (corrected) smoothing formula."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_stabilization_tpu.engine.smoothing import smoothing_homography
+    from video_stabilization_tpu.sim import inter_frame_homography
+
+    h_true = []
+    for i in range(n_frames - 1):
+        pa = jax.tree.map(lambda x: x[i], traj)
+        pb = jax.tree.map(lambda x: x[i + 1], traj)
+        h_true.append(np.asarray(inter_frame_homography(pa, pb, wh, ww),
+                                 np.float64))
+
+    wm1 = past + future
+    qs = [np.eye(3)]                       # first frame: no transforms yet
+    for n in range(2, n_frames + 1):       # after ingesting frame n
+        length = min(n, wm1 + 1)
+        num_tr = length - 1
+        window = h_true[n - 1 - num_tr : n - 1]
+        arr = np.broadcast_to(np.eye(3), (wm1, 3, 3)).copy()
+        arr[wm1 - num_tr:] = window
+        tvalid = np.zeros(wm1, bool)
+        tvalid[wm1 - num_tr:] = True
+        pres = length - future - 1 if length > future else 0
+        q = smoothing_homography(
+            jnp.asarray(arr, jnp.float32), jnp.asarray(tvalid),
+            jnp.asarray(pres), jnp.asarray(num_tr), reference_compat=False,
+        )
+        qs.append(np.asarray(q, np.float64))
+    return qs
 
 
 def engine_config(h, w, working_height, past, future, ecc=False, compat=False):
@@ -307,14 +348,13 @@ def main():
     h, w = spec["size"]
     n_streams = spec.get("streams", 1)
     mode = StabilizationMode[MODE_MAP[spec["mode"]]]
-    compat = spec["mode"] == "smoothing" and not args.skip_drift
 
     log(f"config {args.config}: {spec['name']}")
     log(f"rendering {args.frames} frames x {n_streams} stream(s) at {w}x{h}...")
-    footage = make_footage(args.frames, h, w, n_streams)
+    footage, traj = make_footage(args.frames, h, w, n_streams)
 
     cfg = engine_config(h, w, spec["working"], args.past, args.future,
-                        ecc=(spec["mode"] == "sift"), compat=compat)
+                        ecc=(spec["mode"] == "sift"))
 
     log("running TPU engine...")
     collect = spec["mode"] == "smoothing" and not args.skip_drift
@@ -322,7 +362,8 @@ def main():
         footage, cfg, mode, collect_h=collect, n_streams=n_streams)
     log(f"TPU: {tpu_fps:.2f} fps/chip, p50 {tpu_p50:.1f} ms")
 
-    cv_fps, drift = float("nan"), None
+    cv_fps = float("nan")
+    drift_tpu = drift_cv = None
     if not args.skip_baseline:
         log("running OpenCV-CPU baseline...")
         first = footage[0] if n_streams > 1 else footage
@@ -337,9 +378,14 @@ def main():
         else:
             log(f"OpenCV-CPU: {cv_fps:.2f} fps")
         if collect and hs_tpu is not None and hs_cv is not None:
-            ww2 = cfg.working_size[1]
-            drift = corner_drift(hs_tpu, hs_cv, ww2, cfg.working_size[0])
-            log(f"corner drift vs OpenCV: {drift:.4f} px (working res)")
+            # fidelity referee: analytic ground truth from the simulator
+            wh2, ww2 = cfg.working_size
+            qs_true = analytic_smoothing_truth(
+                traj, args.frames, wh2, ww2, args.past, args.future)
+            drift_tpu = corner_drift(hs_tpu, qs_true, ww2, wh2)
+            drift_cv = corner_drift(hs_cv, qs_true, ww2, wh2)
+            log(f"corner drift vs analytic truth: TPU {drift_tpu:.4f} px, "
+                f"OpenCV {drift_cv:.4f} px (working res)")
 
     result = {
         "metric": f"frames/sec/chip, {spec['name']}",
@@ -348,8 +394,9 @@ def main():
         "vs_baseline": round(tpu_fps / cv_fps, 3) if cv_fps == cv_fps else None,
         "p50_latency_ms": round(tpu_p50, 2),
     }
-    if drift is not None:
-        result["corner_drift_px"] = round(drift, 4)
+    if drift_tpu is not None:
+        result["corner_drift_vs_truth_px"] = round(drift_tpu, 4)
+        result["opencv_drift_vs_truth_px"] = round(drift_cv, 4)
     print(json.dumps(result))
 
 
