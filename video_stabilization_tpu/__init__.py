@@ -32,3 +32,13 @@ from video_stabilization_tpu.config import (  # noqa: F401
     StabilizationMode,
     StabilizerConfig,
 )
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (importing the engine pulls in all kernels;
+    # keep bare `import video_stabilization_tpu` light).
+    if name == "Stabilizer":
+        from video_stabilization_tpu.engine import Stabilizer
+
+        return Stabilizer
+    raise AttributeError(name)

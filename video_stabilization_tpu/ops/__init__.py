@@ -1,9 +1,9 @@
 """Vision/image kernels for the TPU stabilization pipeline.
 
-All ops are pure jnp/XLA (with Pallas variants for the hot paths in
-``ops.pallas``), operate on float32 image arrays with static shapes, and are
-written to match OpenCV's sampling conventions closely enough that fidelity
-tests can compare against ``cv2`` outputs directly (tests/test_ops.py).
+All ops are pure jnp/XLA, operate on float32 image arrays with static
+shapes, and are written to match OpenCV's sampling conventions closely
+enough that fidelity tests compare against ``cv2`` outputs directly
+(tests/test_ops.py and friends).
 """
 
 from video_stabilization_tpu.ops.image import (  # noqa: F401
@@ -11,8 +11,46 @@ from video_stabilization_tpu.ops.image import (  # noqa: F401
     resize_bilinear,
     resize_nearest,
 )
-from video_stabilization_tpu.ops.warp import warp_perspective  # noqa: F401
+from video_stabilization_tpu.ops.warp import (  # noqa: F401
+    warp_affine_shear,
+    warp_perspective,
+)
 from video_stabilization_tpu.ops.pyramid import (  # noqa: F401
     build_pyramid,
     pyr_down,
+)
+from video_stabilization_tpu.ops.gftt import (  # noqa: F401
+    Corners,
+    good_features_to_track,
+    min_eig_response,
+)
+from video_stabilization_tpu.ops.lk import LKResult, lk_track  # noqa: F401
+from video_stabilization_tpu.ops.filters import (  # noqa: F401
+    clahe,
+    median_blur,
+    preprocess_for_registration,
+    sharpen3,
+)
+from video_stabilization_tpu.ops.fast import fast_score  # noqa: F401
+from video_stabilization_tpu.ops.orb import (  # noqa: F401
+    ORBFeatures,
+    orb_detect_and_compute,
+)
+from video_stabilization_tpu.ops.sift import (  # noqa: F401
+    SIFTFeatures,
+    sift_detect_and_compute,
+)
+from video_stabilization_tpu.ops.match import (  # noqa: F401
+    Matches,
+    match_hamming_knn,
+    match_l2,
+)
+from video_stabilization_tpu.ops.ecc import (  # noqa: F401
+    ECCResult,
+    ecc_refine_euclidean,
+)
+from video_stabilization_tpu.ops.compositing import (  # noqa: F401
+    compute_translation_shift,
+    copy_feathered,
+    warped_mask,
 )
