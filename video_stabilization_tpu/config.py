@@ -157,6 +157,13 @@ class StabilizerConfig:
     # "Matching the reference's quirks") — used only by drift benchmarks.
     reference_compat: bool = False
 
+    # Guard the Pallas output warp with a lax.cond fallback to the projective
+    # gather path for corrections outside its ~9-degree rotation envelope.
+    # Keep True for single-stream use; stream-batched step functions disable
+    # it (vmap turns cond into a both-branches select, and the envelope always
+    # holds for stabilization corrections).
+    warp_projective_fallback: bool = True
+
     # Compute dtype for image ops on TPU (3x3 transform math is always f32).
     image_dtype: str = "float32"
 

@@ -57,7 +57,8 @@ from video_stabilization_tpu.ops.gftt import good_features_to_track
 from video_stabilization_tpu.ops.image import bgr_to_gray, resize_bilinear
 from video_stabilization_tpu.ops.lk import lk_track
 from video_stabilization_tpu.ops.pyramid import build_pyramid
-from video_stabilization_tpu.ops.warp import _inv3x3, warp_affine_shear
+from video_stabilization_tpu.ops.pallas_warp import warp_affine
+from video_stabilization_tpu.ops.warp import _inv3x3
 
 
 def _rotation_about(theta: jax.Array, center: jax.Array) -> jax.Array:
@@ -238,8 +239,11 @@ def stabilize_step(
     h_scaled = h_stabilize.at[0:2, 2].set(h_stabilize[0:2, 2] / scale_factor)
     avg_color = 0.5 * jnp.mean(pres_frame, axis=(0, 1))
     # engine transforms are affine by construction (rigid estimates,
-    # rigid accumulations, averages of rigid) -> gather-free shear warp
-    warped = warp_affine_shear(pres_frame, h_scaled, border_value=avg_color)
+    # rigid accumulations, averages of rigid) -> Pallas 2-pass warp
+    warped = warp_affine(
+        pres_frame, h_scaled, border_value=avg_color,
+        projective_fallback=config.warp_projective_fallback,
+    )
     warped_u8 = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
 
     # quirk #1: the first frame is returned unstabilized

@@ -11,6 +11,7 @@ from video_stabilization_tpu.ops.image import (  # noqa: F401
     resize_bilinear,
     resize_nearest,
 )
+from video_stabilization_tpu.ops.pallas_warp import warp_affine  # noqa: F401
 from video_stabilization_tpu.ops.warp import (  # noqa: F401
     warp_affine_shear,
     warp_perspective,

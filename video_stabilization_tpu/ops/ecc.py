@@ -24,7 +24,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from video_stabilization_tpu.ops.warp import _inv3x3, warp_affine_shear
+from video_stabilization_tpu.ops.pallas_warp import warp_affine
+from video_stabilization_tpu.ops.warp import _inv3x3
 
 
 class ECCResult(NamedTuple):
@@ -90,8 +91,8 @@ def ecc_refine_euclidean(
     def body(carry, _):
         theta, tx, ty, done = carry
         w = _euclidean_h(theta, tx, ty)
-        # warp_affine_shear samples src at hinv.dst; we need iw(x)=cur(W x)
-        iw_full = warp_affine_shear(cur, _inv3x3(w), border_value=0.0)
+        # warp_affine samples src at hinv.dst; we need iw(x)=cur(W x)
+        iw_full = warp_affine(cur, _inv3x3(w), border_value=0.0)
 
         gx_full = 0.5 * (jnp.roll(iw_full, -1, 1) - jnp.roll(iw_full, 1, 1))
         gy_full = 0.5 * (jnp.roll(iw_full, -1, 0) - jnp.roll(iw_full, 1, 0))
@@ -140,9 +141,9 @@ def ecc_refine_euclidean(
     )
 
     h_ref = _euclidean_h(theta, tx, ty)
-    iw_final = warp_affine_shear(cur, _inv3x3(h_ref), border_value=0.0)
+    iw_final = warp_affine(cur, _inv3x3(h_ref), border_value=0.0)
     rho_final = rho_of(iw_final)
-    iw_init = warp_affine_shear(cur, _inv3x3(h_init.astype(jnp.float32)), 0.0)
+    iw_init = warp_affine(cur, _inv3x3(h_init.astype(jnp.float32)), 0.0)
     rho_init = rho_of(iw_init)
 
     improved = (rho_final >= rho_init) & jnp.all(jnp.isfinite(h_ref))

@@ -35,34 +35,54 @@ def _linear_weights(dst_size: int, src_size: int):
     return i0, i1, frac
 
 
+def _resample_linear_1d(img: jax.Array, out_size: int, axis: int) -> jax.Array:
+    """One axis of a cv2-INTER_LINEAR resize.
+
+    Fast path: when the downscale factor k = src/dst is an integer, the
+    sample positions (i + 0.5)*k - 0.5 land on the lattice k*i + (k-1)/2 —
+    integer positions for odd k (pure strided slice) and half-integer for
+    even k (mean of two strided slices).  Both avoid the HLO gather the
+    general take() path lowers to (1080p->360 sits on this path: k=3).
+    """
+    src_size = img.shape[axis]
+    axis_pos = axis % img.ndim
+    if src_size == out_size:
+        return img
+    if src_size % out_size == 0:
+        k = src_size // out_size
+        limit = (out_size - 1) * k + 1
+        if k % 2 == 1:
+            start = (k - 1) // 2
+            return jax.lax.slice_in_dim(
+                img, start, start + limit, stride=k, axis=axis_pos
+            )
+        a = jax.lax.slice_in_dim(
+            img, k // 2 - 1, k // 2 - 1 + limit, stride=k, axis=axis_pos
+        )
+        b = jax.lax.slice_in_dim(img, k // 2, k // 2 + limit, stride=k, axis=axis_pos)
+        return 0.5 * (a + b)
+
+    i0, i1, f = _linear_weights(out_size, src_size)
+    a = jnp.take(img, i0, axis=axis)
+    b = jnp.take(img, i1, axis=axis)
+    f_shape = [1] * img.ndim
+    f_shape[axis] = out_size
+    f = f.reshape(f_shape)
+    return a * (1.0 - f) + b * f
+
+
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Bilinear resize of (..., H, W) or (..., H, W, C) float images.
 
-    Separable: one gather+lerp along rows, one along columns — XLA fuses each
-    into a single pass; no 2D gather needed.
+    Separable: one pass per axis — strided slices for integer scale
+    factors, gather+lerp otherwise; XLA fuses each into a single pass.
     """
     has_c = img.ndim >= 3 and img.shape[-1] in (1, 3, 4) and img.shape[-2] > 4
     h_axis = -3 if has_c else -2
     w_axis = -2 if has_c else -1
-    src_h = img.shape[h_axis]
-    src_w = img.shape[w_axis]
     img = img.astype(jnp.float32)
-
-    i0, i1, fy = _linear_weights(out_h, src_h)
-    rows0 = jnp.take(img, i0, axis=h_axis)
-    rows1 = jnp.take(img, i1, axis=h_axis)
-    fy_shape = [1] * img.ndim
-    fy_shape[h_axis] = out_h
-    fy = fy.reshape(fy_shape)
-    rows = rows0 * (1.0 - fy) + rows1 * fy
-
-    j0, j1, fx = _linear_weights(out_w, src_w)
-    cols0 = jnp.take(rows, j0, axis=w_axis)
-    cols1 = jnp.take(rows, j1, axis=w_axis)
-    fx_shape = [1] * img.ndim
-    fx_shape[w_axis] = out_w
-    fx = fx.reshape(fx_shape)
-    return cols0 * (1.0 - fx) + cols1 * fx
+    img = _resample_linear_1d(img, out_h, h_axis)
+    return _resample_linear_1d(img, out_w, w_axis)
 
 
 def resize_nearest(img: jax.Array, out_h: int, out_w: int) -> jax.Array:

@@ -44,11 +44,21 @@ def init_batched_carry(
     return jax.vmap(lambda k: init_carry(config, mode, k))(keys)
 
 
+def _batched_config(config: StabilizerConfig) -> StabilizerConfig:
+    """Under vmap a lax.cond becomes a both-branches select, so the warp's
+    projective fallback would run the 1080p gather path for every stream on
+    every frame; disable it (stabilization corrections always fit the Pallas
+    warp's rotation envelope — ops/pallas_warp.py)."""
+    import dataclasses
+
+    return dataclasses.replace(config, warp_projective_fallback=False)
+
+
 @functools.lru_cache(maxsize=32)
 def make_batched_step_fn(config: StabilizerConfig) -> Callable:
     """(carry_batch, frames (S,Hf,Wf,C)) -> (carry_batch, (outputs, valid)) —
     jitted vmap over streams for single-chip throughput."""
-    step = functools.partial(stabilize_step, config=config)
+    step = functools.partial(stabilize_step, config=_batched_config(config))
     # carry donated: in-place frame-ring updates (see engine.make_step_fn)
     return jax.jit(jax.vmap(step), donate_argnums=0)
 
@@ -68,7 +78,7 @@ def make_sharded_step_fn(config: StabilizerConfig, mesh: Mesh) -> Callable:
     stream axis; outputs come back with the same sharding so the carry never
     leaves the devices between frames.
     """
-    step = functools.partial(stabilize_step, config=config)
+    step = functools.partial(stabilize_step, config=_batched_config(config))
     vstep = jax.vmap(step)
 
     stream_sharding = NamedSharding(mesh, P(STREAM_AXIS))
