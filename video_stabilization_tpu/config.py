@@ -63,6 +63,14 @@ class LKConfig:
     max_iters: int = 50
     epsilon: float = 0.01
     min_eig_threshold: float = 1e-4
+    # "dense": all-stencil dense block matching + global-similarity chaining
+    #          (fastest on TPU; assumes globally-rigid inter-frame motion,
+    #          which the engine's RANSAC fit assumes anyway).
+    # "sweep": per-point SSD-sweep + Newton polish (general scenes).
+    method: str = "dense"
+    # Guard the dense path's internal warps with the projective fallback
+    # (see ops/pallas_warp.py); stream-batched configs disable it.
+    warp_fallback: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

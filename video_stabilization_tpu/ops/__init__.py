@@ -25,7 +25,12 @@ from video_stabilization_tpu.ops.gftt import (  # noqa: F401
     good_features_to_track,
     min_eig_response,
 )
-from video_stabilization_tpu.ops.lk import LKResult, lk_track  # noqa: F401
+from video_stabilization_tpu.ops.lk import (  # noqa: F401
+    LKResult,
+    lk_track,
+    lk_track_sweep,
+)
+from video_stabilization_tpu.ops.lk_dense import lk_track_dense  # noqa: F401
 from video_stabilization_tpu.ops.filters import (  # noqa: F401
     clahe,
     median_blur,

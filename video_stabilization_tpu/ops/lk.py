@@ -151,7 +151,26 @@ def lk_track(
     mask: jax.Array,
     config: LKConfig = LKConfig(),
 ) -> LKResult:
-    """Track (N, 2) level-0 ``points`` from pyr_prev to pyr_next."""
+    """Track (N, 2) level-0 ``points`` from pyr_prev to pyr_next.
+
+    Dispatches on ``config.method``: "dense" (default — all-stencil dense
+    block matching, ops/lk_dense.py) or "sweep" (per-point SSD sweep +
+    Newton polish, this module)."""
+    if config.method == "dense":
+        from video_stabilization_tpu.ops.lk_dense import lk_track_dense
+
+        return lk_track_dense(pyr_prev, pyr_next, points, mask, config)
+    return lk_track_sweep(pyr_prev, pyr_next, points, mask, config)
+
+
+def lk_track_sweep(
+    pyr_prev: Sequence[jax.Array],
+    pyr_next: Sequence[jax.Array],
+    points: jax.Array,
+    mask: jax.Array,
+    config: LKConfig = LKConfig(),
+) -> LKResult:
+    """Per-point SSD-sweep tracker (general scenes; see module docstring)."""
     win = config.window_size
     half = (win - 1) / 2.0
     n_levels = len(pyr_prev) - 1

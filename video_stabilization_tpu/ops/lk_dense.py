@@ -1,0 +1,326 @@
+"""Dense block-matching pyramidal optical flow — the all-stencil LK redesign.
+
+Functional equivalent of ``cv::calcOpticalFlowPyrLK`` with the reference's
+parameters (window 21x21, maxLevel 3; reference src/stabilizer.cpp:185-195),
+architected so the hot loop contains ZERO per-point gathers:
+
+1. **Coarse dense search.**  At the coarsest pyramid level, a dense SSD
+   block-matching sweep over shared integer shifts: every shift is one static
+   slice of the whole level, the 21x21 SSD aggregation is a cumsum box
+   filter, and ``SSD = box(J_s²) - 2·box(J_s·I) + box(I²)`` reuses a single
+   ``box(J²)`` map for all shifts (integer shifts commute with the box).
+2. **Global-motion chaining.**  Inter-frame motion in stabilization is a
+   global similarity (the engine immediately RANSAC-fits one anyway).  At
+   each finer level the next frame is warped by the current similarity
+   estimate (one Pallas affine warp — rotation removed, so small residual
+   search ranges suffice) and the dense residual flow re-fits the similarity
+   on a regular pixel grid via IRLS: grid samples are strided slices, not
+   gathers.
+3. **Dense Newton polish.**  At the finest level, two classic LK Newton
+   rounds computed densely (Scharr gradients + box-filtered structure
+   tensor and residual moments — all stencils), each followed by a refit
+   and re-warp.
+4. **One tiny sample.**  The per-point answer is a bilinear sample of the
+   final dense maps at the query corners — the only gather, ~1300 x 4 taps.
+
+Status semantics match the sparse path: tracked iff the template has texture
+(min eigenvalue of the 21x21 structure tensor over Scharr/32 gradients,
+threshold ``min_eig_threshold``), the endpoint stays in bounds, and the
+residual is finite.  Points deviating from the global motion by more than
+the per-level residual search ranges (independently moving objects) converge
+to the global motion and are rejected by the engine's RANSAC as before —
+for general-scene per-point tracking use ``LKConfig(method="sweep")``.
+
+~6x faster than the per-point SSD-sweep path at 360p/1300 corners on TPU
+(the sweep's per-point region extraction was row-gather latency-bound).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_stabilization_tpu.config import LKConfig
+from video_stabilization_tpu.motion.similarity import fit_similarity_masked
+from video_stabilization_tpu.ops.gradients import scharr_xy
+from video_stabilization_tpu.ops.pallas_warp import warp_affine
+from video_stabilization_tpu.ops.warp import _inv3x3
+
+
+def _box_same(x: jax.Array, win: int) -> jax.Array:
+    """win x win box sum, zero-padded SAME, via cumsum (O(1) per pixel)."""
+    h = win // 2
+    for axis in (-2, -1):
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (h + 1, h)
+        cs = jnp.cumsum(jnp.pad(x, pads), axis=axis)
+        n = x.shape[axis]
+        x = (
+            jax.lax.slice_in_dim(cs, win, n + win, axis=axis)
+            - jax.lax.slice_in_dim(cs, 0, n, axis=axis)
+        )
+    return x
+
+
+def _dense_residual_flow(
+    img_i: jax.Array, img_j: jax.Array, srange: int, win: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Dense integer+parabola flow minimizing the win x win SSD between
+    ``img_j`` shifted by the flow and ``img_i``.
+
+    Returns (flow (H, W, 2) as (dx, dy), interior (H, W) bool — False where
+    the argmin sits on the search boundary).
+    """
+    h, w = img_i.shape
+    side = 2 * srange + 1
+    jp = jnp.pad(img_j, srange)
+    b2p = _box_same(jp * jp, win)           # box(J²) once; shifts commute
+    i2b = _box_same(img_i * img_i, win)
+
+    maps = []
+    for sy in range(side):
+        for sx in range(side):
+            js = jax.lax.slice(jp, (sy, sx), (sy + h, sx + w))
+            b2 = jax.lax.slice(b2p, (sy, sx), (sy + h, sx + w))
+            maps.append(b2 - 2.0 * _box_same(js * img_i, win) + i2b)
+    surf = jnp.stack(maps)                   # (side², H, W)
+
+    amin = jnp.argmin(surf, axis=0)
+    ay = amin // side
+    ax = amin % side
+    ayc = jnp.clip(ay, 1, side - 2)
+    axc = jnp.clip(ax, 1, side - 2)
+
+    def pick(dy, dx):
+        idx = (ayc + dy) * side + (axc + dx)
+        acc = jnp.zeros((h, w), surf.dtype)
+        for k in range(side * side):
+            acc = acc + jnp.where(idx == k, surf[k], 0.0)
+        return acc
+
+    c0 = pick(0, 0)
+    cxm, cxp = pick(0, -1), pick(0, 1)
+    cym, cyp = pick(-1, 0), pick(1, 0)
+
+    def fit(a, b, c):
+        denom = a - 2.0 * b + c
+        denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+        return jnp.clip(0.5 * (a - c) / denom, -0.5, 0.5)
+
+    sub_x = jnp.where(ax == axc, fit(cxm, c0, cxp), 0.0)
+    sub_y = jnp.where(ay == ayc, fit(cym, c0, cyp), 0.0)
+    flow = jnp.stack(
+        [ax.astype(jnp.float32) - srange + sub_x,
+         ay.astype(jnp.float32) - srange + sub_y], axis=-1
+    )
+    interior = (ax > 0) & (ax < side - 1) & (ay > 0) & (ay < side - 1)
+    return flow, interior
+
+
+def _min_eig_dense(ix: jax.Array, iy: jax.Array, win: int) -> jax.Array:
+    """Per-pixel smaller structure-tensor eigenvalue over a win x win window
+    of Scharr/32 gradients, normalized by win² (cv2 LK minEig convention)."""
+    gxx = _box_same(ix * ix, win)
+    gxy = _box_same(ix * iy, win)
+    gyy = _box_same(iy * iy, win)
+    half_tr = 0.5 * (gxx + gyy)
+    disc = jnp.sqrt(jnp.square(0.5 * (gxx - gyy)) + jnp.square(gxy))
+    return (half_tr - disc) / float(win * win)
+
+
+def _apply_h(h: jax.Array, pts: jax.Array) -> jax.Array:
+    """Affine 3x3 applied to (..., 2) points (no projective divide)."""
+    return (
+        pts @ h[:2, :2].T + h[:2, 2]
+    )
+
+
+def _scale_h(h: jax.Array, s: float) -> jax.Array:
+    """Similarity h at level-0 coords -> coords scaled by 1/s (level l with
+    s = 2^l): U⁻¹ h U, which only rescales the translation."""
+    return h.at[:2, 2].set(h[:2, 2] / s)
+
+
+def _grid_fit(
+    h_cur: jax.Array,
+    flow: jax.Array,
+    interior: jax.Array,
+    min_eig: jax.Array,
+    scale: float,
+    min_eig_threshold: float,
+    resid_px: float,
+) -> jax.Array:
+    """IRLS similarity refit from a dense residual flow on a regular grid.
+
+    Grid samples are strided slices (no gathers).  Correspondence model:
+    position in J = h_cur·(x + flow(x)) at this level; the fit is performed
+    in level-0 coordinates.  Returns the updated level-0 similarity.
+    """
+    hgt, wid = flow.shape[:2]
+    stride = max(4, min(hgt, wid) // 22)
+    off = stride // 2
+    sl = (slice(off, None, stride), slice(off, None, stride))
+
+    ys = jnp.arange(off, hgt, stride, dtype=jnp.float32)
+    xs = jnp.arange(off, wid, stride, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    src_l = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)          # level px
+
+    # keep grid points whose SSD windows never touched the zero padding
+    margin = 10.0
+    in_core = (
+        (src_l[:, 0] >= margin) & (src_l[:, 0] < wid - margin)
+        & (src_l[:, 1] >= margin) & (src_l[:, 1] < hgt - margin)
+    )
+
+    f = flow[sl].reshape(-1, 2)
+    w0 = (
+        interior[sl].reshape(-1)
+        & in_core
+        & (min_eig[sl].reshape(-1) > min_eig_threshold)
+    )
+
+    # Robust init: gate around the masked median flow before any LS fit —
+    # border/flat cells report ~zero flow and a plain LS fit absorbs them
+    # (measured: 25% zero-flow outliers bias tx by 25%).
+    fnan = jnp.where(w0[:, None], f, jnp.nan)
+    med = jnp.nanmedian(fnan, axis=0)
+    med = jnp.where(jnp.isfinite(med), med, 0.0)
+    gate = jnp.maximum(1.5, 0.25 * jnp.linalg.norm(med))
+    w_med = (
+        w0 & (jnp.linalg.norm(f - med, axis=-1) < gate)
+    ).astype(jnp.float32)
+
+    hl = _scale_h(h_cur, scale)
+    dst_l = _apply_h(hl, src_l + f)
+    src0 = src_l * scale
+    dst0 = dst_l * scale
+
+    h1, ok1 = fit_similarity_masked(src0, dst0, w_med)
+    h1 = jnp.where(ok1, h1, h_cur)
+    r = jnp.linalg.norm(_apply_h(h1, src0) - dst0, axis=-1)
+    w1 = w_med * (r < resid_px * scale).astype(jnp.float32)
+    h2, ok2 = fit_similarity_masked(src0, dst0, w1)
+    return jnp.where(ok2, h2, h1)
+
+
+def _sample_maps(maps: jax.Array, pts: jax.Array) -> jax.Array:
+    """Bilinear sample of (K, H, W) maps at (N, 2) points -> (K, N).
+    The dense design's single gather."""
+    k, h, w = maps.shape
+    flat = maps.reshape(k, h * w)
+    x = jnp.clip(pts[:, 0], 0.0, w - 1.001)
+    y = jnp.clip(pts[:, 1], 0.0, h - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[None]
+    fy = (y - y0)[None]
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+
+    def tap(dy, dx):
+        idx = (yi + dy) * w + (xi + dx)
+        return jnp.take(flat, idx, axis=1)
+
+    return (
+        tap(0, 0) * (1 - fx) * (1 - fy) + tap(0, 1) * fx * (1 - fy)
+        + tap(1, 0) * (1 - fx) * fy + tap(1, 1) * fx * fy
+    )
+
+
+def lk_track_dense(
+    pyr_prev: Sequence[jax.Array],
+    pyr_next: Sequence[jax.Array],
+    points: jax.Array,
+    mask: jax.Array,
+    config: LKConfig = LKConfig(),
+):
+    """Track (N, 2) level-0 ``points`` from pyr_prev to pyr_next; see module
+    docstring.  Returns an ``LKResult`` (import-free duck type to avoid a
+    circular import; the public entry is ``ops.lk.lk_track``)."""
+    from video_stabilization_tpu.ops.lk import LKResult
+
+    win = config.window_size
+    n_levels = len(pyr_prev) - 1
+    points = points.astype(jnp.float32)
+    valid = mask.astype(bool)
+    h0, w0 = pyr_prev[0].shape
+
+    t_cur = jnp.eye(3, dtype=jnp.float32)
+
+    # ---- coarse-to-fine dense search with global-similarity chaining -------
+    for level in range(n_levels, 0, -1):
+        img_i = pyr_prev[level]
+        img_j = pyr_next[level]
+        scale = float(2 ** level)
+        rng = 8 if level == n_levels else 3
+
+        if level == n_levels:
+            j_w = img_j                      # T = identity: warp-free
+        else:
+            hl = _scale_h(t_cur, scale)
+            j_w = warp_affine(
+                img_j, _inv3x3(hl), border_value=0.0,
+                projective_fallback=config.warp_fallback,
+            )
+        flow, interior = _dense_residual_flow(img_i, j_w, rng, win)
+        ix, iy = scharr_xy(img_i)
+        me = _min_eig_dense(ix, iy, win)
+        t_cur = _grid_fit(
+            t_cur, flow, interior, me, scale,
+            config.min_eig_threshold, resid_px=max(1.5, rng / 2.0),
+        )
+
+    # ---- level-0: two dense Newton rounds with refit between ---------------
+    img_i = pyr_prev[0]
+    img_j = pyr_next[0]
+    ix, iy = scharr_xy(img_i)
+    gxx = _box_same(ix * ix, win)
+    gxy = _box_same(ix * iy, win)
+    gyy = _box_same(iy * iy, win)
+    det = gxx * gyy - gxy * gxy
+    min_eig = _min_eig_dense(ix, iy, win)
+    good = (min_eig > config.min_eig_threshold) & (det > 1e-12)
+    det_safe = jnp.where(good, det, 1.0)
+
+    delta = err = None
+    for rnd in range(2):
+        j_w = warp_affine(
+            img_j, _inv3x3(t_cur), border_value=0.0,
+            projective_fallback=config.warp_fallback,
+        )
+        r = j_w - img_i
+        bx = _box_same(r * ix, win)
+        by = _box_same(r * iy, win)
+        dx = -(gyy * bx - gxy * by) / det_safe
+        dy = -(gxx * by - gxy * bx) / det_safe
+        delta = jnp.where(good[..., None], jnp.stack([dx, dy], axis=-1), 0.0)
+        err = _box_same(jnp.abs(r), win) / float(win * win)
+        if rnd == 0:
+            ones = jnp.ones_like(min_eig, bool)
+            t_cur = _grid_fit(
+                t_cur, delta, ones, min_eig, 1.0,
+                config.min_eig_threshold, resid_px=2.0,
+            )
+
+    # ---- single sample at the query corners ---------------------------------
+    samp = _sample_maps(
+        jnp.stack([delta[..., 0], delta[..., 1], err, min_eig]), points
+    )
+    d_pts = samp[0:2].T                                   # (N, 2)
+    err_pts = samp[2]
+    me_pts = samp[3]
+
+    new_pts = _apply_h(t_cur, points + d_pts)
+    in_final = (
+        (new_pts[:, 0] >= 0.0) & (new_pts[:, 1] >= 0.0)
+        & (new_pts[:, 0] < w0) & (new_pts[:, 1] < h0)
+    )
+    status = (
+        valid & in_final & (me_pts > config.min_eig_threshold)
+        & jnp.isfinite(err_pts) & jnp.all(jnp.isfinite(new_pts), axis=-1)
+    )
+    out_pts = jnp.where(status[:, None], new_pts, points)
+    return LKResult(points=out_pts, status=status, error=err_pts)

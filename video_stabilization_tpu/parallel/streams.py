@@ -51,7 +51,11 @@ def _batched_config(config: StabilizerConfig) -> StabilizerConfig:
     warp's rotation envelope — ops/pallas_warp.py)."""
     import dataclasses
 
-    return dataclasses.replace(config, warp_projective_fallback=False)
+    return dataclasses.replace(
+        config,
+        warp_projective_fallback=False,
+        lk=dataclasses.replace(config.lk, warp_fallback=False),
+    )
 
 
 @functools.lru_cache(maxsize=32)
