@@ -1,25 +1,31 @@
 #!/usr/bin/env python
 """Benchmarks: TPU engine vs OpenCV-CPU reference pipeline, 5 configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-selected config (default 1 — the driver's headline number), plus extra keys
-(p50 latency, corner drift for config 1).
+Prints ONE JSON line.  Headline keys ({"metric", "value", "unit",
+"vs_baseline"}) follow the driver contract and report config 1; a "configs"
+key carries every config's numbers.
 
 BASELINE.json configs:
   1. simulator + global smoothing, working 360, 1080p frames
   2. accumulated LK optical-flow full-motion lock, 360p frames
   3. ORB registration lock, 720p frames
   4. SIFT registration lock + ECC enabled, 1080p frames
-  5. batched 8-stream 1080p, translation/rotation-lock decomposition
+  5. batched 8-stream 1080p, translation-lock decomposition (the real
+     vmapped path: one chip dispatch stabilizes all 8 streams per frame)
 
-The reference publishes no numbers (BASELINE.md), so the baseline is
-measured here: a faithful OpenCV replica of the per-frame hot path with the
-reference's hyperparameters.
-
-Measurement notes for this environment's TPU relay (see
-.claude/skills/verify/SKILL.md): block_until_ready can return early, so all
-timings end with a host fetch of an on-device scalar checksum; no frame is
-fetched to host while timing.
+Measurement protocol (see .claude/skills/verify/SKILL.md):
+  - Throughput: lax.scan over the clip — one dispatch per clip, so the
+    number is chip throughput, not host dispatch rate.  All timings end
+    with a host fetch of an on-device checksum (the only reliable
+    completion barrier on this relay).
+  - Latency: >= 50 per-frame dispatches, each closed by a forced fetch;
+    p50/p99 reported raw (includes this environment's ~27 ms relay
+    round-trip per sync — an artifact of the tunnel, reported alongside
+    the pipelined per-frame step time which excludes it).
+  - The OpenCV baseline is a faithful CPU replica of the reference
+    per-frame hot path with the reference's hyperparameters; config 5's
+    baseline runs the accumulated-lock mode (the reference's translation
+    lock is a documented no-op, src/stabilizer.cpp:790) on one stream.
 """
 
 import argparse
@@ -35,12 +41,13 @@ def log(msg):
 
 
 def make_footage(n_frames, height, width, n_streams=1):
-    """Render simulator footage ON DEVICE and leave it there (no host fetch:
-    the first D2H flips the relay into slow synchronous dispatch).
+    """Render simulator footage ON DEVICE and leave it there.
 
-    Returns (streams, trajectory-of-stream-0) — the trajectory yields
-    analytic ground-truth homographies for fidelity metrics."""
+    Returns (frames, traj0): frames is (T, H, W, 3) u8 for one stream or
+    (T, S, H, W, 3) u8 for a batch; traj0 yields analytic ground-truth
+    homographies for fidelity metrics."""
     import jax
+    import jax.numpy as jnp
 
     from video_stabilization_tpu.sim import (
         DEFAULT_APP_PARAMS, make_default_texture, render_frame,
@@ -60,9 +67,13 @@ def make_footage(n_frames, height, width, n_streams=1):
             traj0 = traj
         frames = [render(tex, jax.tree.map(lambda x: x[i], traj))
                   for i in range(n_frames)]
-        streams.append(frames)
-    jax.block_until_ready(streams[-1][-1])
-    return (streams if n_streams > 1 else streams[0]), traj0
+        streams.append(jnp.stack(frames))
+    if n_streams > 1:
+        out = jnp.stack(streams, axis=1)          # (T, S, H, W, 3)
+    else:
+        out = streams[0]                          # (T, H, W, 3)
+    jax.block_until_ready(out)
+    return out, traj0
 
 
 def analytic_smoothing_truth(traj, n_frames, wh, ww, past, future):
@@ -111,8 +122,47 @@ def engine_config(h, w, working_height, past, future, ecc=False, compat=False):
     )
 
 
-def bench_tpu(frames, cfg, mode, collect_h=False, n_streams=1):
-    """Returns (fps, p50_ms, [per-frame H list])."""
+def _checksum(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x[-1].astype(jnp.float32)))
+
+
+def bench_throughput_scan(frames, cfg, mode, n_streams=1, reps=2):
+    """Chip throughput via the scan path: frames/sec/chip."""
+    import jax
+
+    from video_stabilization_tpu.config import StabilizationMode  # noqa: F401
+    from video_stabilization_tpu.engine.stabilizer import make_scan_fn
+    from video_stabilization_tpu.engine.state import init_carry
+    from video_stabilization_tpu.parallel import (
+        init_batched_carry, make_batched_scan_fn,
+    )
+    from video_stabilization_tpu.utils.timing import enable_compile_cache
+
+    enable_compile_cache()
+    if n_streams > 1:
+        scan = make_batched_scan_fn(cfg)
+        carry = init_batched_carry(cfg, n_streams, int(mode), jax.random.key(0))
+    else:
+        scan = make_scan_fn(cfg)
+        carry = init_carry(cfg, int(mode), jax.random.key(0))
+
+    n_frames = frames.shape[0]
+    carry, (out, _) = scan(carry, frames)       # compile + warm
+    _checksum(out)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        carry, (out, _) = scan(carry, frames)
+    _checksum(out)
+    dt = time.perf_counter() - t0
+    return reps * n_frames * n_streams / dt
+
+
+def bench_latency(frames, cfg, mode, n_lat=50, collect_h=False):
+    """Per-frame dispatch latency (p50/p99, raw incl. relay sync) plus the
+    pipelined per-frame step time, via the streaming step path."""
     import jax
     import jax.numpy as jnp
 
@@ -120,42 +170,39 @@ def bench_tpu(frames, cfg, mode, collect_h=False, n_streams=1):
     from video_stabilization_tpu.utils.timing import enable_compile_cache
 
     enable_compile_cache()
-    streams = frames if n_streams > 1 else [frames]
-    stabs = [Stabilizer(cfg, mode, seed=i) for i in range(n_streams)]
+    stab = Stabilizer(cfg, mode, seed=0)
+    out = stab.stabilize_frame(frames[0])
+    float(jnp.sum(out.astype(jnp.float32)))     # warm + first (slow) fetch
 
-    # compile + warm (forced-fetch completion)
-    out = stabs[0].stabilize_frame(streams[0][0])
-    float(jnp.sum(out.astype(jnp.float32)))
-
-    stabs = [Stabilizer(cfg, mode, seed=i) for i in range(n_streams)]
-    total = jnp.zeros((), jnp.float32)
-    n_total = 0
+    # pipelined: N dispatches, one fetch
+    stab = Stabilizer(cfg, mode, seed=0)
+    n_pipe = min(32, frames.shape[0])
     t0 = time.perf_counter()
-    for i in range(len(streams[0])):
-        for s, stab in enumerate(stabs):
-            out = stab.stabilize_frame(streams[s][i])
-            total = total + jnp.sum(out.astype(jnp.float32))
-            n_total += 1
-    float(total)
-    dt = time.perf_counter() - t0
-    fps = n_total / dt
+    for i in range(n_pipe):
+        out = stab.stabilize_frame(frames[i])
+    float(jnp.sum(out.astype(jnp.float32)))
+    step_ms = (time.perf_counter() - t0) / n_pipe * 1000.0
 
+    # raw per-dispatch latency, >= 50 samples
     lat = []
-    for f in streams[0][: min(5, len(streams[0]))]:
-        s0 = time.perf_counter()
-        out = stabs[0].stabilize_frame(f)
+    hs = []
+    stab = Stabilizer(cfg, mode, seed=0)
+    n = frames.shape[0]
+    for i in range(max(n_lat, n)):
+        f = frames[i % n]
+        t0 = time.perf_counter()
+        out = stab.stabilize_frame(f)
         float(jnp.sum(out.astype(jnp.float32)))
-        lat.append(time.perf_counter() - s0)
-    p50 = 1000.0 * float(np.median(lat))
-
-    hs = None
-    if collect_h:
-        stab = Stabilizer(cfg, mode, seed=0)
-        hs = []
-        for f in streams[0]:
-            stab.stabilize_frame(f)
+        lat.append(time.perf_counter() - t0)
+        if collect_h and i < n:
             hs.append(np.asarray(stab.carry.last_h, np.float64))
-    return fps, p50, hs
+    lat_ms = 1000.0 * np.asarray(lat)
+    return (
+        float(np.percentile(lat_ms, 50)),
+        float(np.percentile(lat_ms, 99)),
+        step_ms,
+        hs if collect_h else None,
+    )
 
 
 def opencv_pipeline(frames_np, working_height, past, future, mode="smoothing",
@@ -319,7 +366,7 @@ CONFIGS = {
             size=(720, 1280), working=360, mode="orb"),
     4: dict(name="1080p SIFT registration lock + ECC",
             size=(1080, 1920), working=360, mode="sift"),
-    5: dict(name="batched 8-stream 1080p translation/rotation-lock",
+    5: dict(name="batched 8-stream 1080p translation-lock",
             size=(1080, 1920), working=360, mode="tlock", streams=8),
 }
 
@@ -332,72 +379,107 @@ MODE_MAP = {
 }
 
 
+def bench_one(idx, args):
+    from video_stabilization_tpu.config import StabilizationMode
+
+    spec = CONFIGS[idx]
+    h, w = spec["size"]
+    n_streams = spec.get("streams", 1)
+    mode = StabilizationMode[MODE_MAP[spec["mode"]]]
+    cfg = engine_config(h, w, spec["working"], args.past, args.future,
+                        ecc=(spec["mode"] == "sift"))
+
+    log(f"config {idx}: {spec['name']}")
+    log(f"rendering {args.frames} frames x {n_streams} stream(s) at {w}x{h}...")
+    footage, traj = make_footage(args.frames, h, w, n_streams)
+
+    log("TPU throughput (scan)...")
+    tpu_fps = bench_throughput_scan(footage, cfg, mode, n_streams)
+    log(f"TPU: {tpu_fps:.1f} frames/sec/chip")
+
+    result = {"name": spec["name"], "tpu_fps_per_chip": round(tpu_fps, 2)}
+
+    if n_streams == 1:
+        collect = spec["mode"] == "smoothing" and not args.skip_drift
+        p50, p99, step_ms, hs_tpu = bench_latency(
+            footage, cfg, mode, n_lat=args.latency_samples, collect_h=collect)
+        log(f"latency p50 {p50:.1f} ms / p99 {p99:.1f} ms "
+            f"(pipelined step {step_ms:.1f} ms)")
+        result.update(p50_latency_ms=round(p50, 2), p99_latency_ms=round(p99, 2),
+                      step_ms_pipelined=round(step_ms, 2))
+    else:
+        hs_tpu = None
+        result["streams"] = n_streams
+        result["per_stream_fps"] = round(tpu_fps / n_streams, 2)
+
+    if not args.skip_baseline:
+        n_base = min(args.baseline_frames, args.frames)
+        log(f"OpenCV-CPU baseline ({n_base} frames)...")
+        first = footage[:n_base, 0] if n_streams > 1 else footage[:n_base]
+        frames_np = [np.asarray(f) for f in first]
+        cv_mode = spec["mode"] if spec["mode"] != "tlock" else "accum"
+        collect = n_streams == 1 and spec["mode"] == "smoothing" and not args.skip_drift
+        cv_fps, hs_cv = opencv_pipeline(
+            frames_np, spec["working"], args.past, args.future,
+            mode=cv_mode, collect_h=collect)
+        log(f"OpenCV-CPU: {cv_fps:.2f} fps (1 stream)")
+        result["opencv_fps"] = round(cv_fps, 2)
+        result["vs_baseline"] = round(tpu_fps / cv_fps, 3)
+        if n_streams > 1:
+            result["baseline_note"] = (
+                "aggregate 8-stream chip fps vs single-stream CPU; CPU runs "
+                "accumulated-lock (reference translation lock is a no-op)")
+
+        if collect and hs_tpu:
+            wh2, ww2 = cfg.working_size
+            qs_true = analytic_smoothing_truth(
+                traj, len(hs_tpu), wh2, ww2, args.past, args.future)
+            result["corner_drift_vs_truth_px"] = round(
+                corner_drift(hs_tpu, qs_true, ww2, wh2), 4)
+            result["opencv_drift_vs_truth_px"] = round(
+                corner_drift(hs_cv, qs_true[: len(hs_cv)], ww2, wh2), 4)
+            log(f"corner drift vs analytic truth: TPU "
+                f"{result['corner_drift_vs_truth_px']} px, OpenCV "
+                f"{result['opencv_drift_vs_truth_px']} px")
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=1, choices=sorted(CONFIGS))
-    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--config", type=int, default=0,
+                    help="run one config (1-5); default runs all")
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--baseline-frames", type=int, default=28)
+    ap.add_argument("--latency-samples", type=int, default=50)
     ap.add_argument("--past", type=int, default=30)
     ap.add_argument("--future", type=int, default=15)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--skip-drift", action="store_true")
     args = ap.parse_args()
 
-    from video_stabilization_tpu.config import StabilizationMode
+    todo = [args.config] if args.config else sorted(CONFIGS)
+    results = {}
+    for idx in todo:
+        try:
+            results[idx] = bench_one(idx, args)
+        except Exception as e:  # keep the driver contract on partial failure
+            log(f"config {idx} FAILED: {type(e).__name__}: {e}")
+            results[idx] = {"name": CONFIGS[idx]["name"], "error": str(e)[:300]}
 
-    spec = CONFIGS[args.config]
-    h, w = spec["size"]
-    n_streams = spec.get("streams", 1)
-    mode = StabilizationMode[MODE_MAP[spec["mode"]]]
-
-    log(f"config {args.config}: {spec['name']}")
-    log(f"rendering {args.frames} frames x {n_streams} stream(s) at {w}x{h}...")
-    footage, traj = make_footage(args.frames, h, w, n_streams)
-
-    cfg = engine_config(h, w, spec["working"], args.past, args.future,
-                        ecc=(spec["mode"] == "sift"))
-
-    log("running TPU engine...")
-    collect = spec["mode"] == "smoothing" and not args.skip_drift
-    tpu_fps, tpu_p50, hs_tpu = bench_tpu(
-        footage, cfg, mode, collect_h=collect, n_streams=n_streams)
-    log(f"TPU: {tpu_fps:.2f} fps/chip, p50 {tpu_p50:.1f} ms")
-
-    cv_fps = float("nan")
-    drift_tpu = drift_cv = None
-    if not args.skip_baseline:
-        log("running OpenCV-CPU baseline...")
-        first = footage[0] if n_streams > 1 else footage
-        frames_np = [np.asarray(f) for f in first]
-        cv_mode = spec["mode"] if spec["mode"] != "tlock" else "smoothing"
-        cv_fps, hs_cv = opencv_pipeline(
-            frames_np, spec["working"], args.past, args.future,
-            mode=cv_mode, collect_h=collect)
-        if n_streams > 1:
-            log(f"OpenCV-CPU: {cv_fps:.2f} fps single stream "
-                f"(per-chip comparison uses the same host)")
-        else:
-            log(f"OpenCV-CPU: {cv_fps:.2f} fps")
-        if collect and hs_tpu is not None and hs_cv is not None:
-            # fidelity referee: analytic ground truth from the simulator
-            wh2, ww2 = cfg.working_size
-            qs_true = analytic_smoothing_truth(
-                traj, args.frames, wh2, ww2, args.past, args.future)
-            drift_tpu = corner_drift(hs_tpu, qs_true, ww2, wh2)
-            drift_cv = corner_drift(hs_cv, qs_true, ww2, wh2)
-            log(f"corner drift vs analytic truth: TPU {drift_tpu:.4f} px, "
-                f"OpenCV {drift_cv:.4f} px (working res)")
-
-    result = {
-        "metric": f"frames/sec/chip, {spec['name']}",
-        "value": round(tpu_fps, 3),
+    head_idx = args.config if args.config else 1
+    head = results[head_idx]
+    out = {
+        "metric": f"frames/sec/chip, {head['name']}",
+        "value": head.get("tpu_fps_per_chip"),
         "unit": "fps",
-        "vs_baseline": round(tpu_fps / cv_fps, 3) if cv_fps == cv_fps else None,
-        "p50_latency_ms": round(tpu_p50, 2),
+        "vs_baseline": head.get("vs_baseline"),
     }
-    if drift_tpu is not None:
-        result["corner_drift_vs_truth_px"] = round(drift_tpu, 4)
-        result["opencv_drift_vs_truth_px"] = round(drift_cv, 4)
-    print(json.dumps(result))
+    for k in ("p50_latency_ms", "p99_latency_ms", "step_ms_pipelined",
+              "corner_drift_vs_truth_px", "opencv_drift_vs_truth_px"):
+        if k in head:
+            out[k] = head[k]
+    out["configs"] = {str(k): v for k, v in results.items()}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -4,6 +4,7 @@ from video_stabilization_tpu.engine.state import EngineCarry, init_carry  # noqa
 from video_stabilization_tpu.engine.smoothing import smoothing_homography  # noqa: F401
 from video_stabilization_tpu.engine.stabilizer import (  # noqa: F401
     Stabilizer,
+    make_scan_fn,
     make_step_fn,
     stabilize_step,
 )

@@ -274,6 +274,24 @@ def stabilize_step(
 
 
 @functools.lru_cache(maxsize=32)
+def make_scan_fn(config: StabilizerConfig) -> Callable:
+    """Jitted (carry, frames (T, Hf, Wf, C)) -> (carry, (outputs, valid)) —
+    a ``lax.scan`` of the per-frame step over a clip.
+
+    One dispatch processes the whole clip: this is the offline/throughput
+    path (the reference is strictly frame-at-a-time; a TPU step costs a few
+    ms, so per-frame host dispatch would dominate).  The carry is donated;
+    the frame stack is not, so a caller may re-feed the same clip.
+    """
+    step = functools.partial(stabilize_step, config=config)
+
+    def scan_fn(carry, frames):
+        return jax.lax.scan(step, carry, frames)
+
+    return jax.jit(scan_fn, donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=32)
 def make_step_fn(config: StabilizerConfig) -> Callable:
     """Jitted (carry, frame) -> (carry, (output, valid)) specialized to config.
 
@@ -334,6 +352,15 @@ class Stabilizer:
         (delayed) output frame."""
         self.carry, (output, _) = self._step(self.carry, jnp.asarray(frame))
         return output
+
+    def stabilize_clip(self, frames) -> "jax.Array":
+        """Feed a whole (T, Hf, Wf, C) uint8 clip in one device dispatch
+        (lax.scan over the per-frame step); returns the (T, Hf, Wf, C)
+        stabilized outputs.  Offline/throughput path — streaming callers use
+        :meth:`stabilize_frame`."""
+        scan = make_scan_fn(self.config)
+        self.carry, (outputs, _) = scan(self.carry, jnp.asarray(frames))
+        return outputs
 
     @property
     def total_frame_window_size(self) -> int:

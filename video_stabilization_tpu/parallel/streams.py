@@ -67,6 +67,21 @@ def make_batched_step_fn(config: StabilizerConfig) -> Callable:
     return jax.jit(jax.vmap(step), donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=32)
+def make_batched_scan_fn(config: StabilizerConfig) -> Callable:
+    """(carry_batch, frames (T, S, Hf, Wf, C)) -> (carry_batch, (outputs,
+    valid)) — ``lax.scan`` over frames of the vmapped per-stream step.  One
+    dispatch stabilizes a whole clip for every stream on the chip (the
+    single-chip throughput path; see ``engine.make_scan_fn``)."""
+    step = functools.partial(stabilize_step, config=_batched_config(config))
+    vstep = jax.vmap(step)
+
+    def scan_fn(carry, frames):
+        return jax.lax.scan(vstep, carry, frames)
+
+    return jax.jit(scan_fn, donate_argnums=0)
+
+
 def make_stream_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
     """1-D mesh over all (or the given) devices along the stream axis."""
     devs = list(devices) if devices is not None else jax.devices()
