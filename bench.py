@@ -441,6 +441,36 @@ def bench_one(idx, args):
             log(f"corner drift vs analytic truth: TPU "
                 f"{result['corner_drift_vs_truth_px']} px, OpenCV "
                 f"{result['opencv_drift_vs_truth_px']} px")
+
+        if collect and hs_cv and not args.skip_compat_drift:
+            # fidelity gate vs the REFERENCE pipeline: reference-compat
+            # quirks + the cv2-exact tracker (gradient-descent LK with
+            # OpenCV's schedule), measured against the OpenCV replica on
+            # identical footage.  Residual drift is estimator-selection
+            # noise (GFTT corner sets, RANSAC sampling), quantified in
+            # benchmarks/RESULTS.md.
+            import dataclasses
+
+            from video_stabilization_tpu.config import LKConfig
+            from video_stabilization_tpu.engine import Stabilizer
+            from video_stabilization_tpu.config import StabilizationMode as SM
+
+            log("compat-mode drift vs OpenCV replica (cv2exact tracker)...")
+            cfg_compat = dataclasses.replace(
+                cfg, reference_compat=True,
+                lk=LKConfig(method="cv2exact"),
+            )
+            stab = Stabilizer(cfg_compat, SM.GLOBAL_SMOOTHING, seed=0)
+            hs_compat = []
+            n_base = len(hs_cv)
+            for i in range(n_base):
+                stab.stabilize_frame(footage[i])
+                hs_compat.append(np.asarray(stab.carry.last_h, np.float64))
+            wh2, ww2 = cfg.working_size
+            result["drift_vs_reference_px"] = round(
+                corner_drift(hs_compat, hs_cv, ww2, wh2), 4)
+            log(f"drift vs reference replica: "
+                f"{result['drift_vs_reference_px']} px")
     return result
 
 
@@ -455,6 +485,7 @@ def main():
     ap.add_argument("--future", type=int, default=15)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--skip-drift", action="store_true")
+    ap.add_argument("--skip-compat-drift", action="store_true")
     args = ap.parse_args()
 
     todo = [args.config] if args.config else sorted(CONFIGS)
@@ -475,7 +506,8 @@ def main():
         "vs_baseline": head.get("vs_baseline"),
     }
     for k in ("p50_latency_ms", "p99_latency_ms", "step_ms_pipelined",
-              "corner_drift_vs_truth_px", "opencv_drift_vs_truth_px"):
+              "corner_drift_vs_truth_px", "opencv_drift_vs_truth_px",
+              "drift_vs_reference_px"):
         if k in head:
             out[k] = head[k]
     out["configs"] = {str(k): v for k, v in results.items()}

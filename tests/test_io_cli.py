@@ -144,3 +144,68 @@ class TestHeadlessApp:
             count += 1
         # 12 frames, future window 3 -> first 3 buffered, 9 written
         assert count >= 6
+
+    def test_checkpoint_resume_roundtrip(self, tmp_path):
+        """--checkpoint saves the carry at exit; --resume restores it
+        (engine/checkpoint.py wired through the CLI)."""
+        from video_stabilization_tpu.cli.app import run
+        from video_stabilization_tpu.cli.args import AppConfig
+
+        ckpt = str(tmp_path / "state.npz")
+        base = dict(
+            input_mode="simulator", past_window_secs=0.2,
+            future_window_secs=0.1, working_height=180,
+            max_frames=8, display=False,
+        )
+        assert run(AppConfig(**base, checkpoint=ckpt)) == 0
+        assert os.path.exists(ckpt)
+
+        # resuming continues the frame counter instead of restarting
+        import numpy as np
+
+        data = np.load(ckpt)
+        assert run(AppConfig(**base, resume=ckpt, checkpoint=ckpt)) == 0
+        data2 = np.load(ckpt)
+        # the frame-counter leaf must have advanced to 16
+        counters = [int(data2[k]) for k in data2.files
+                    if k != "__meta__" and data2[k].shape == ()
+                    and data2[k].dtype == np.int32]
+        assert 16 in counters
+
+    def test_trail_mode_headless(self, tmp_path):
+        from video_stabilization_tpu.cli.app import run
+        from video_stabilization_tpu.cli.args import AppConfig
+
+        out = str(tmp_path / "trail.y4m")
+        cfg = AppConfig(
+            input_mode="simulator", past_window_secs=0.2,
+            future_window_secs=0.1, working_height=180,
+            output=out, max_frames=8, display=False, trail=True,
+        )
+        assert run(cfg) == 0
+        r = NativeY4MReader(out)
+        frames = []
+        while True:
+            f = r.read()
+            if f is None:
+                break
+            frames.append(f)
+        assert len(frames) >= 3
+        assert frames[-1].max() > 0      # composited content, not black
+
+    def test_motion_model_flag(self):
+        from video_stabilization_tpu.cli.args import parse_args
+
+        cfg = parse_args(["--simulator", "--motion-model", "affine"])
+        assert cfg.motion_model == "affine"
+
+    def test_affine_motion_model_runs(self):
+        from video_stabilization_tpu.cli.app import run
+        from video_stabilization_tpu.cli.args import AppConfig
+
+        cfg = AppConfig(
+            input_mode="simulator", past_window_secs=0.2,
+            future_window_secs=0.1, working_height=180,
+            max_frames=6, display=False, motion_model="affine",
+        )
+        assert run(cfg) == 0

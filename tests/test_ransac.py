@@ -95,3 +95,53 @@ class TestRansac:
         res = f(src, dst, jnp.ones(128, bool), jax.random.key(2))
         assert bool(res.valid)
         np.testing.assert_allclose(res.h, h_true, atol=5e-2)
+
+
+class TestMotionModelRefit:
+    """LO-RANSAC refit_fn hook: similarity hypotheses + configured-model
+    refinement (models.motion_models wired via RansacConfig.motion_model)."""
+
+    def _cloud(self, rng, h_true, n=120, outliers=20):
+        src = rng.uniform(20, 300, (n, 2)).astype(np.float32)
+        ones = np.ones((n, 1), np.float32)
+        p = np.concatenate([src, ones], 1) @ h_true.T
+        dst = (p[:, :2] / p[:, 2:]).astype(np.float32)
+        dst[:outliers] += rng.uniform(30, 80, (outliers, 2))
+        return jnp.asarray(src), jnp.asarray(dst)
+
+    def test_affine_refit_recovers_affine(self):
+        from video_stabilization_tpu.models.motion_models import (
+            MotionModel, fit_motion,
+        )
+
+        rng = np.random.default_rng(0)
+        h_true = np.array([[1.02, 0.05, 4.0], [-0.03, 0.97, -2.0], [0, 0, 1.0]])
+        src, dst = self._cloud(rng, h_true)
+        center = jnp.array([160.0, 160.0])
+        res = estimate_similarity_ransac(
+            src, dst, jnp.ones(src.shape[0], bool), jax.random.key(0),
+            RansacConfig(num_hypotheses=256),
+            refit_fn=lambda s, d, w: fit_motion(MotionModel.AFFINE, s, d, w, center),
+        )
+        assert bool(res.valid)
+        np.testing.assert_allclose(np.asarray(res.h), h_true, atol=5e-2)
+
+    def test_homography_refit_recovers_projective(self):
+        from video_stabilization_tpu.models.motion_models import (
+            MotionModel, fit_motion,
+        )
+
+        rng = np.random.default_rng(1)
+        h_true = np.array([
+            [1.0, 0.02, 5.0], [-0.02, 1.0, 3.0], [1e-4, -5e-5, 1.0]
+        ])
+        src, dst = self._cloud(rng, h_true, outliers=10)
+        center = jnp.array([160.0, 160.0])
+        res = estimate_similarity_ransac(
+            src, dst, jnp.ones(src.shape[0], bool), jax.random.key(2),
+            RansacConfig(num_hypotheses=256, inlier_threshold=5.0),
+            refit_fn=lambda s, d, w: fit_motion(
+                MotionModel.HOMOGRAPHY, s, d, w, center),
+        )
+        assert bool(res.valid)
+        np.testing.assert_allclose(np.asarray(res.h), h_true, atol=5e-2, rtol=0.2)

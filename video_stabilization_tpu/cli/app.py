@@ -54,6 +54,49 @@ def _put_text(img, lines, origin=(8, 20)):
     return img
 
 
+def _print_stage_timings(engine_cfg) -> None:
+    """One-shot per-stage kernel timings in the reference's printTimings
+    taxonomy (GFTT / LK / motion fit / warp, src/stabilizer.cpp:982-1009),
+    measured standalone with the forced-fetch protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_stabilization_tpu.motion.ransac import estimate_similarity_ransac
+    from video_stabilization_tpu.ops.gftt import good_features_to_track
+    from video_stabilization_tpu.ops.lk import lk_track
+    from video_stabilization_tpu.ops.pallas_warp import warp_affine
+    from video_stabilization_tpu.ops.pyramid import build_pyramid
+    from video_stabilization_tpu.utils.timing import honest_time
+
+    wh, ww = engine_cfg.working_size
+    key = jax.random.key(0)
+    gray = jax.random.uniform(key, (wh, ww), jnp.float32) * 255
+    pyr_fn = jax.jit(lambda g: build_pyramid(g, engine_cfg.lk.pyramid_levels))
+    pyr = pyr_fn(gray)
+    pyr2 = pyr_fn(gray + 1.0)
+    corners_fn = jax.jit(lambda g: good_features_to_track(g, engine_cfg.gftt))
+    c = corners_fn(gray)
+    lk_fn = jax.jit(lambda a, b, p, m: lk_track(a, b, p, m, engine_cfg.lk))
+    tr = lk_fn(pyr, pyr2, c.points, c.mask)
+    fit_fn = jax.jit(
+        lambda a, b, m, k: estimate_similarity_ransac(a, b, m, k, engine_cfg.ransac)
+    )
+    frame = jax.random.uniform(
+        key, (engine_cfg.frame_height, engine_cfg.frame_width, 3), jnp.float32
+    )
+    warp_fn = jax.jit(lambda f, h: warp_affine(f, h, 127.0))
+
+    print("[stats] standalone kernel timings (ms, forced-fetch):")
+    for name, fn, xs in (
+        ("goodFeaturesToTrack", corners_fn, (gray,)),
+        ("calcOpticalFlowPyrLK", lk_fn, (pyr, pyr2, c.points, c.mask)),
+        ("estimateAffinePartial2D", fit_fn,
+         (c.points, tr.points, tr.status, jax.random.key(1))),
+        ("warpPerspective", warp_fn, (frame, jnp.eye(3) + 1e-3)),
+    ):
+        print(f"[stats]   {name:24s} {honest_time(fn, *xs, iters=10):7.2f}")
+
+
 def main(argv=None) -> int:
     cfg = parse_args(argv)
     return run(cfg)
@@ -80,14 +123,27 @@ def run(cfg: AppConfig) -> int:
     if past == 0 and future == 0:
         past = 1
 
+    from video_stabilization_tpu.config import RansacConfig
+
     engine_cfg = StabilizerConfig(
         past_frames=past, future_frames=future,
         working_height=cfg.working_height,
         frame_height=fh, frame_width=fw,
         reference_compat=cfg.reference_compat,
+        ransac=RansacConfig(motion_model=cfg.motion_model),
     )
     mode = StabilizationMode[MODE_NAMES[cfg.mode]]
     stab = Stabilizer(engine_cfg, mode)
+
+    if cfg.resume:
+        from video_stabilization_tpu.engine.checkpoint import load_carry
+
+        stab.carry = load_carry(cfg.resume, stab.carry)
+        print(f"[app] resumed engine state from {cfg.resume} "
+              f"(frame counter {int(stab.carry.n)})")
+
+    if cfg.stats:
+        _print_stage_timings(engine_cfg)
 
     print(f"[app] source: {cfg.input_mode} {fw}x{fh} @ {fps:.1f} fps")
     print(f"[app] window: past={past} future={future} frames "
@@ -117,6 +173,9 @@ def run(cfg: AppConfig) -> int:
     original_buffer: collections.deque = collections.deque()
     timer = StageTimer()
     n = 0
+    trail_bg = None
+    trail_fn = None
+    stats_last = time.perf_counter()
     t_prev = time.perf_counter()
     try:
         while True:
@@ -151,12 +210,40 @@ def run(cfg: AppConfig) -> int:
             timer.record("frame", (now - t_prev) * 1000.0)
             t_prev = now
 
+            if cfg.stats and (time.perf_counter() - stats_last) >= 1.0:
+                stats_last = time.perf_counter()
+                avg_ms = timer.averages().get("frame", float("nan"))
+                print(f"[stats] fps {1000.0 / max(avg_ms, 1e-3):6.1f} | "
+                      f"step {avg_ms:6.1f} ms | "
+                      f"RANSAC inliers {int(stab.carry.last_inliers):4d} | "
+                      f"mode {StabilizationMode(int(stab.carry.mode)).name}")
+
             if len(original_buffer) <= future:
                 print(f"Buffering frames: {len(original_buffer)}/{future + 1}")
                 continue
             delayed = original_buffer.popleft()
 
-            out_np = np.asarray(out)
+            if cfg.trail:
+                # feathered trail compositing (the reference's dormant
+                # copyFeathered path, src/stabilizer.cpp:1051-1155): the
+                # presentation frame is feather-blended over a fading
+                # background with its stabilization transform.
+                import jax.numpy as jnp
+
+                from video_stabilization_tpu.ops.compositing import copy_feathered
+
+                if trail_bg is None:
+                    trail_bg = jnp.zeros((fh, fw, 3), jnp.float32)
+                    trail_fn = jax.jit(copy_feathered)
+                h_full = np.asarray(stab.carry.last_h).copy()
+                h_full[:2, 2] /= engine_cfg.scale_factor
+                trail_bg = trail_fn(
+                    jnp.asarray(delayed, jnp.float32), trail_bg,
+                    jnp.asarray(h_full, jnp.float32),
+                )
+                out_np = np.clip(np.asarray(trail_bg), 0, 255).astype(np.uint8)
+            else:
+                out_np = np.asarray(out)
             if writer is not None:
                 writer.write(out_np)
 
@@ -167,12 +254,26 @@ def run(cfg: AppConfig) -> int:
                 if isinstance(source, SimulatorSource):
                     overlay += source.pose_text()
                 disp = _put_text(delayed.copy(), overlay)
+                if cfg.debug_features:
+                    # tracked-corner overlay (the reference's "features"
+                    # debug window, src/stabilizer.cpp:628-634)
+                    pts = np.asarray(stab.carry.corners_prev)
+                    msk = np.asarray(stab.carry.corners_mask)
+                    inv_s = 1.0 / engine_cfg.scale_factor
+                    for x, y in pts[msk][:400]:
+                        cv2.circle(disp, (int(x * inv_s), int(y * inv_s)), 3,
+                                   (0, 255, 0), 1)
                 cv2.imshow("Original Camera Feed", disp)
                 cv2.imshow("Stabilized Output", out_np)
     finally:
         source.close()
         if writer is not None:
             writer.close()
+        if cfg.checkpoint:
+            from video_stabilization_tpu.engine.checkpoint import save_carry
+
+            save_carry(cfg.checkpoint, stab.carry)
+            print(f"[app] saved engine state to {cfg.checkpoint}")
         if display:
             try:
                 import cv2

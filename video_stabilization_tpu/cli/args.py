@@ -36,6 +36,12 @@ class AppConfig:
     max_frames: Optional[int] = None
     display: bool = True
     reference_compat: bool = False
+    motion_model: str = "rigid"
+    checkpoint: Optional[str] = None   # save carry here on exit
+    resume: Optional[str] = None       # load carry from here at start
+    stats: bool = False                # per-second printTimings-style stats
+    trail: bool = False                # feathered trail compositing display
+    debug_features: bool = False       # overlay tracked corners (ref imshow)
 
 
 MODE_NAMES = {
@@ -85,6 +91,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reference-compat", action="store_true",
                    help="replicate the reference implementation's behavioral "
                         "quirks bit-for-bit (for drift benchmarking)")
+    p.add_argument("--motion-model", default="rigid",
+                   choices=["rigid", "similarity", "affine", "homography"],
+                   help="inter-frame motion family (default: rigid, the "
+                        "reference's de-scaled similarity)")
+    p.add_argument("--checkpoint", type=str, default=None, metavar="PATH",
+                   help="save the engine state (.npz) on exit")
+    p.add_argument("--resume", type=str, default=None, metavar="PATH",
+                   help="restore engine state saved by --checkpoint")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-stage kernel timings once at startup and "
+                        "a stats line (fps / step ms / RANSAC inliers) every "
+                        "second (the reference's printTimings)")
+    p.add_argument("--trail", action="store_true",
+                   help="display mode: feathered trail compositing onto a "
+                        "fading background (the reference's dormant "
+                        "copyFeathered path)")
+    p.add_argument("--debug-features", action="store_true",
+                   help="overlay tracked corners on the original view (the "
+                        "reference's debug feature window)")
     return p
 
 
@@ -122,4 +147,10 @@ def parse_args(argv=None) -> AppConfig:
         max_frames=a.max_frames,
         display=not a.no_display,
         reference_compat=a.reference_compat,
+        motion_model=a.motion_model,
+        checkpoint=a.checkpoint,
+        resume=a.resume,
+        stats=a.stats,
+        trail=a.trail,
+        debug_features=a.debug_features,
     )

@@ -63,11 +63,19 @@ class LKConfig:
     max_iters: int = 50
     epsilon: float = 0.01
     min_eig_threshold: float = 1e-4
-    # "dense": all-stencil dense block matching + global-similarity chaining
-    #          (fastest on TPU; assumes globally-rigid inter-frame motion,
-    #          which the engine's RANSAC fit assumes anyway).
-    # "sweep": per-point SSD-sweep + Newton polish (general scenes).
+    # "dense":    all-stencil dense block matching + global-similarity
+    #             chaining (fastest on TPU; assumes globally-rigid
+    #             inter-frame motion, which the engine's RANSAC fit
+    #             assumes anyway).
+    # "sweep":    per-point SSD-sweep + Newton polish (general scenes).
+    # "cv2exact": per-point gradient-descent LK, zero-init, OpenCV's
+    #             iteration schedule at every pyramid level — the fidelity
+    #             referee for reference_compat drift benchmarks (slow).
     method: str = "dense"
+    # Dense path: extra per-point Newton iterations at the exact subpixel
+    # corner positions after the dense pipeline (the dense maps are sampled
+    # bilinearly, which costs ~0.2 px; the polish recovers it for ~1 ms).
+    corner_polish_iters: int = 1
     # Guard the dense path's internal warps with the projective fallback
     # (see ops/pallas_warp.py); stream-batched configs disable it.
     warp_fallback: bool = True
@@ -83,6 +91,11 @@ class RansacConfig:
     lock_inlier_threshold: float = 5.0  # ORB/SIFT lock path uses 5.0 (:510-511)
     refine_iters: int = 2             # least-squares refits on the inlier set
     min_points: int = 10              # MIN_POINTS_FOR_MOTION_ESTIMATION (:20)
+    # Inter-frame motion family (models.motion_models): "rigid" is the
+    # reference's de-scaled similarity (src/stabilizer.cpp:261-267);
+    # "similarity" / "affine" / "homography" enable the richer fits (the
+    # reference carries the homography path disabled, :227-229).
+    motion_model: str = "rigid"
 
 
 @dataclasses.dataclass(frozen=True)

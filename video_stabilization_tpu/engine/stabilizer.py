@@ -97,11 +97,28 @@ def stabilize_step(
     # -- 2-3. track + estimate inter-frame motion ----------------------------
     tracked = lk_track(carry.pyr_prev, pyr, carry.corners_prev,
                        carry.corners_mask, config.lk)
-    ransac = estimate_similarity_ransac(
-        carry.corners_prev, tracked.points, tracked.status, k_ransac,
-        config.ransac,
-    )
-    t_rigid, _ = remove_isotropic_scale(ransac.h, center)
+    if config.ransac.motion_model == "rigid":
+        # reference path: similarity fit, then kill isotropic scale about the
+        # image center (src/stabilizer.cpp:224-267)
+        ransac = estimate_similarity_ransac(
+            carry.corners_prev, tracked.points, tracked.status, k_ransac,
+            config.ransac,
+        )
+        t_rigid, _ = remove_isotropic_scale(ransac.h, center)
+    else:
+        # richer motion family: similarity hypotheses select inliers, the
+        # configured model refits on them (LO-RANSAC; models.motion_models)
+        from video_stabilization_tpu.models.motion_models import (
+            MotionModel, fit_motion,
+        )
+
+        model = MotionModel(config.ransac.motion_model)
+        ransac = estimate_similarity_ransac(
+            carry.corners_prev, tracked.points, tracked.status, k_ransac,
+            config.ransac,
+            refit_fn=lambda s, d, w: fit_motion(model, s, d, w, center),
+        )
+        t_rigid = ransac.h
     is_first = carry.n == 0
     have_prev = carry.n >= 1
     t_new = jnp.where(have_prev & ransac.valid, t_rigid, jnp.eye(3))
@@ -236,14 +253,24 @@ def stabilize_step(
     h_stabilize = jax.lax.switch(carry.mode, branches)
 
     # -- 9. rescale + warp ----------------------------------------------------
+    # conjugate working-res H to full res: the affine block is scale-
+    # invariant, translation divides by the factor (reference does exactly
+    # this, valid for its rigid model, src/stabilizer.cpp:1291-1296); a
+    # projective row would multiply by it (homography model only).
     h_scaled = h_stabilize.at[0:2, 2].set(h_stabilize[0:2, 2] / scale_factor)
     avg_color = 0.5 * jnp.mean(pres_frame, axis=(0, 1))
-    # engine transforms are affine by construction (rigid estimates,
-    # rigid accumulations, averages of rigid) -> Pallas 2-pass warp
-    warped = warp_affine(
-        pres_frame, h_scaled, border_value=avg_color,
-        projective_fallback=config.warp_projective_fallback,
-    )
+    if config.ransac.motion_model == "homography":
+        from video_stabilization_tpu.ops.warp import warp_perspective
+
+        h_scaled = h_scaled.at[2, 0:2].set(h_scaled[2, 0:2] * scale_factor)
+        warped = warp_perspective(pres_frame, h_scaled, None, avg_color)
+    else:
+        # affine by construction (rigid/similarity/affine estimates, rigid
+        # accumulations, averages of those) -> Pallas 2-pass warp
+        warped = warp_affine(
+            pres_frame, h_scaled, border_value=avg_color,
+            projective_fallback=config.warp_projective_fallback,
+        )
     warped_u8 = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
 
     # quirk #1: the first frame is returned unstabilized
@@ -268,6 +295,7 @@ def stabilize_step(
         sift_ref=sift_ref,
         lock_prev_h=lock_prev_h,
         last_h=h_stabilize,
+        last_inliers=ransac.num_inliers,
         key=key,
     )
     return new_carry, (output, out_valid)

@@ -68,6 +68,9 @@ class EngineCarry(NamedTuple):
     # Last applied stabilization transform (working res) — observability /
     # drift benchmarking (the reference exposes nothing; SURVEY.md §5.5).
     last_h: jax.Array       # (3, 3) f32
+    # RANSAC inlier count of the last inter-frame fit — the match-quality
+    # telemetry the reference logs per frame (src/stabilizer.cpp:667-702).
+    last_inliers: jax.Array  # () int32
     # PRNG for RANSAC hypothesis sampling -----------------------------------
     key: jax.Array
 
@@ -109,5 +112,6 @@ def init_carry(config: StabilizerConfig, mode: int, key: jax.Array) -> EngineCar
         sift_ref=empty_ref(config.sift.max_features, 128, jnp.float32),
         lock_prev_h=jnp.eye(3, dtype=jnp.float32),
         last_h=jnp.eye(3, dtype=jnp.float32),
+        last_inliers=jnp.zeros((), jnp.int32),
         key=key,
     )

@@ -44,6 +44,7 @@ def estimate_similarity_ransac(
     key: jax.Array,
     config: RansacConfig = RansacConfig(),
     inlier_threshold: float | None = None,
+    refit_fn=None,
 ) -> RansacResult:
     """Robust similarity fit of masked correspondences ``src -> dst``.
 
@@ -58,7 +59,14 @@ def estimate_similarity_ransac(
     Returns identity + valid=False when fewer than ``config.min_points`` valid
     correspondences exist (reference: src/stabilizer.cpp:215-216) or when no
     hypothesis reaches ``min_points`` inliers (identity fallback, :241-242).
+
+    ``refit_fn(src, dst, weights) -> (h, valid)`` overrides the inlier-set
+    refinement model (LO-RANSAC style: similarity hypotheses select inliers,
+    the chosen motion family — e.g. affine or DLT homography from
+    ``models.motion_models`` — refines on them).  Default: similarity LS.
     """
+    if refit_fn is None:
+        refit_fn = fit_similarity_masked
     dtype = jnp.asarray(src).dtype
     n = src.shape[0]
     thresh = inlier_threshold if inlier_threshold is not None else config.inlier_threshold
@@ -73,11 +81,11 @@ def estimate_similarity_ransac(
     # hypothesis costs H sorts over N lanes — ~4 ms at H=512, N=1300 on TPU;
     # this is one sort + a tiny gather.)
     order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)     # valid first
-    r = jax.random.randint(key, (config.num_hypotheses, 2), 0, jnp.iinfo(jnp.int32).max)
-    nv = jnp.maximum(num_valid, 2)
-    j1 = r[:, 0] % nv
-    j2 = (j1 + 1 + r[:, 1] % (nv - 1)) % nv                     # distinct from j1
-    idx = order[jnp.stack([j1, j2], axis=1)]                    # (H, 2)
+    bits = jax.random.bits(key, (config.num_hypotheses,), jnp.uint32)
+    nv = jnp.maximum(num_valid, 2).astype(jnp.uint32)
+    j1 = (bits & 0xFFFF) % nv
+    j2 = (j1 + 1 + (bits >> 16) % (nv - 1)) % nv                # distinct from j1
+    idx = order[jnp.stack([j1, j2], axis=1).astype(jnp.int32)]  # (H, 2)
 
     samp_src = src[idx]                                  # (H, 2, 2)
     samp_dst = dst[idx]
@@ -96,7 +104,7 @@ def estimate_similarity_ransac(
     # Re-fit LS on the inlier set, re-threshold, repeat (static iterations).
     def refine(carry, _):
         h_cur, inl = carry
-        h_new, fit_valid = fit_similarity_masked(src, dst, inl.astype(dtype) * maskf)
+        h_new, fit_valid = refit_fn(src, dst, inl.astype(dtype) * maskf)
         h_new = jnp.where(fit_valid, h_new, h_cur)
         proj = transform_points(h_new, src)
         r2 = jnp.sum((proj - dst) ** 2, axis=-1)

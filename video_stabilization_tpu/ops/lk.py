@@ -179,6 +179,10 @@ def lk_track_sweep(
     srange_top = 8                  # wider sweep at the coarsest level
     polish_iters = 3
     eps2 = config.epsilon * config.epsilon
+    # cv2exact: no SSD sweep, zero-init Newton descent with OpenCV's full
+    # iteration schedule at EVERY level (calcOpticalFlowPyrLK semantics,
+    # reference params src/stabilizer.cpp:185-190) — the fidelity referee.
+    cv2exact = config.method == "cv2exact"
 
     points = points.astype(jnp.float32)
     valid = mask.astype(bool)
@@ -228,7 +232,7 @@ def lk_track_sweep(
         # Skipped at the finest level: the coarse levels localize the flow to
         # within ~1 px there, squarely inside the Newton polish's basin —
         # saving the most expensive region extraction + surface sweep.
-        if level > 0:
+        if level > 0 and not cv2exact:
             tl_j = p_l + g - (half + rng) + pad
             region = _extract_patches(img_j, tl_j, win + 2 * rng)
             disp, _ = _ssd_displacement(region, ipatch, rng)
@@ -236,8 +240,8 @@ def lk_track_sweep(
         else:
             v = jnp.zeros_like(g)
 
-        # --- LK Newton polish (finest level only) ---------------------------
-        if level == 0:
+        # --- LK Newton polish (finest level only; every level in cv2exact) --
+        if level == 0 or cv2exact:
             det_safe = jnp.where(good_tensor, det, 1.0)
             inv00 = gyy / det_safe
             inv01 = -gxy / det_safe
@@ -261,7 +265,8 @@ def lk_track_sweep(
                 return (v_new, done | small, err_out), None
 
             (v, _, err), _ = jax.lax.scan(
-                polish, (v, ~level_ok, err), None, length=polish_iters
+                polish, (v, ~level_ok, err), None,
+                length=config.max_iters if cv2exact else polish_iters,
             )
 
         g = (2.0 * (g + v)) if level > 0 else (g + v)

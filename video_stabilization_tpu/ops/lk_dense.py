@@ -151,6 +151,7 @@ def _grid_fit(
     scale: float,
     min_eig_threshold: float,
     resid_px: float,
+    vote_range: int = 9,
 ) -> jax.Array:
     """IRLS similarity refit from a dense residual flow on a regular grid.
 
@@ -182,13 +183,19 @@ def _grid_fit(
         & (min_eig[sl].reshape(-1) > min_eig_threshold)
     )
 
-    # Robust init: gate around the masked median flow before any LS fit —
+    # Robust init: gate around the plurality flow before any LS fit —
     # border/flat cells report ~zero flow and a plain LS fit absorbs them
-    # (measured: 25% zero-flow outliers bias tx by 25%).
-    fnan = jnp.where(w0[:, None], f, jnp.nan)
-    med = jnp.nanmedian(fnan, axis=0)
-    med = jnp.where(jnp.isfinite(med), med, 0.0)
-    gate = jnp.maximum(1.5, 0.25 * jnp.linalg.norm(med))
+    # (measured: 25% zero-flow outliers bias tx by 25%).  The center is a
+    # per-component histogram mode (unit-width votes over the search range):
+    # O(range x grid) selects instead of the sort a median would cost.
+    wf = w0.astype(jnp.float32)
+    bins = jnp.arange(-vote_range, vote_range + 1, dtype=jnp.float32)
+    votes = jnp.sum(
+        wf[None, :, None] * (jnp.abs(f[None, :, :] - bins[:, None, None]) < 1.0),
+        axis=1,
+    )                                                           # (B, 2)
+    med = bins[jnp.argmax(votes, axis=0)]                       # (2,)
+    gate = jnp.maximum(1.8, 0.25 * jnp.linalg.norm(med))
     w_med = (
         w0 & (jnp.linalg.norm(f - med, axis=-1) < gate)
     ).astype(jnp.float32)
@@ -256,6 +263,9 @@ def lk_track_dense(
         img_j = pyr_next[level]
         scale = float(2 ** level)
         rng = 8 if level == n_levels else 3
+        # a search range beyond ~1/4 of the level is meaningless and the
+        # (2r+1)² shift maps dominate compile size at tiny test shapes
+        rng = max(2, min(rng, min(img_i.shape) // 4))
 
         if level == n_levels:
             j_w = img_j                      # T = identity: warp-free
@@ -271,6 +281,7 @@ def lk_track_dense(
         t_cur = _grid_fit(
             t_cur, flow, interior, me, scale,
             config.min_eig_threshold, resid_px=max(1.5, rng / 2.0),
+            vote_range=rng + 1,
         )
 
     # ---- level-0: two dense Newton rounds with refit between ---------------
@@ -302,7 +313,7 @@ def lk_track_dense(
             ones = jnp.ones_like(min_eig, bool)
             t_cur = _grid_fit(
                 t_cur, delta, ones, min_eig, 1.0,
-                config.min_eig_threshold, resid_px=2.0,
+                config.min_eig_threshold, resid_px=2.0, vote_range=3,
             )
 
     # ---- single sample at the query corners ---------------------------------
@@ -314,6 +325,46 @@ def lk_track_dense(
     me_pts = samp[3]
 
     new_pts = _apply_h(t_cur, points + d_pts)
+
+    # ---- optional per-point subpixel polish ---------------------------------
+    # The dense maps are box-filtered at integer centers and sampled
+    # bilinearly; a couple of classic per-point Newton iterations at the
+    # exact corner positions recover the last ~0.2 px (the only per-point
+    # patch gathers in the dense path).
+    if config.corner_polish_iters > 0:
+        from video_stabilization_tpu.ops.lk import (
+            _extract_patches, _scharr_patches,
+        )
+
+        pad = win + 4
+        img_i_p = jnp.pad(img_i, pad, mode="reflect")
+        img_j_p = jnp.pad(img_j, pad, mode="reflect")
+        half = (win - 1) / 2.0
+
+        ipatch_big = _extract_patches(img_i_p, points - (half + 1.0) + pad,
+                                      win + 2)
+        pix, piy = _scharr_patches(ipatch_big)
+        ipatch = ipatch_big[:, 1:-1, 1:-1]
+        pgxx = jnp.sum(pix * pix, axis=(1, 2))
+        pgxy = jnp.sum(pix * piy, axis=(1, 2))
+        pgyy = jnp.sum(piy * piy, axis=(1, 2))
+        pdet = pgxx * pgyy - pgxy * pgxy
+        p_ok = pdet > 1e-12
+        pdet_s = jnp.where(p_ok, pdet, 1.0)
+
+        v = new_pts
+        for _ in range(config.corner_polish_iters):
+            jpatch = _extract_patches(img_j_p, v - half + pad, win)
+            r = jpatch - ipatch
+            bx = jnp.sum(r * pix, axis=(1, 2))
+            by = jnp.sum(r * piy, axis=(1, 2))
+            dx = -(pgyy * bx - pgxy * by) / pdet_s
+            dy = -(pgxx * by - pgxy * bx) / pdet_s
+            step = jnp.stack([dx, dy], axis=-1)
+            # trust region: the dense estimate is within ~1 px already
+            step = jnp.clip(step, -1.5, 1.5)
+            v = v + jnp.where(p_ok[:, None], step, 0.0)
+        new_pts = v
     in_final = (
         (new_pts[:, 0] >= 0.0) & (new_pts[:, 1] >= 0.0)
         & (new_pts[:, 0] < w0) & (new_pts[:, 1] < h0)

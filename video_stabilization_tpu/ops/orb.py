@@ -55,6 +55,28 @@ CENTROID_MASK = np.asarray(_CIRC, np.float32)
 CENTROID_X = np.asarray(_xx * _CIRC, np.float32)
 CENTROID_Y = np.asarray(_yy * _CIRC, np.float32)
 
+# --- quantized steering (ORB paper §4.1: 2π/30 increments) -------------------
+# Per orientation bin, the rotated+rounded pattern as linear indices into the
+# flattened (EXTRACT x EXTRACT) patch.  Host numpy: 30 x 256 int32.
+N_ANGLE_BINS = 30
+
+
+def _steered_lin(pattern: np.ndarray) -> np.ndarray:
+    out = np.zeros((N_ANGLE_BINS, pattern.shape[0]), np.int32)
+    for b in range(N_ANGLE_BINS):
+        a = 2.0 * np.pi * b / N_ANGLE_BINS
+        c, s = np.cos(a), np.sin(a)
+        rx = np.clip(np.round(c * pattern[:, 0] - s * pattern[:, 1]),
+                     -_EXTRACT_RADIUS, _EXTRACT_RADIUS).astype(np.int32)
+        ry = np.clip(np.round(s * pattern[:, 0] + c * pattern[:, 1]),
+                     -_EXTRACT_RADIUS, _EXTRACT_RADIUS).astype(np.int32)
+        out[b] = (ry + _EXTRACT_RADIUS) * _EXTRACT + (rx + _EXTRACT_RADIUS)
+    return out
+
+
+STEERED_LIN_1 = _steered_lin(BRIEF_PATTERN_1)   # (30, 256)
+STEERED_LIN_2 = _steered_lin(BRIEF_PATTERN_2)
+
 
 def _fix_capacity(feats: "ORBFeatures", cap: int) -> "ORBFeatures":
     """Pad or top-k-truncate to exactly ``cap`` keypoint slots so the output
@@ -131,52 +153,102 @@ def _detect_level(img: jax.Array, n_keep: int, fast_threshold: float,
         True) if (h > 2 * edge and w > 2 * edge) else jnp.zeros((h, w), bool)
     score = jnp.where(valid_region, _nms3(score), 0.0)
 
-    flat = score.reshape(-1)
+    # cell-based selection: best responder per 4x4 cell, then top-k over
+    # cells — a top_k over H*W lanes costs a full sort of the level (~1 ms
+    # at 360p); cells cut the sort 16x and spread keypoints, which helps
+    # registration (same design as ops/gftt.py cell suppression).
+    cell = 4
+    gh, gw = -(-h // cell), -(-w // cell)
+    rp = jnp.pad(score, ((0, gh * cell - h), (0, gw * cell - w)))
+    cells = rp.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(
+        gh, gw, cell * cell)
+    best_in = jnp.argmax(cells, axis=-1)
+    best_val = jnp.take_along_axis(cells, best_in[..., None], axis=-1)[..., 0]
+    cy = jnp.arange(gh)[:, None] * cell + best_in // cell
+    cx = jnp.arange(gw)[None, :] * cell + best_in % cell
+
+    flat = best_val.reshape(-1)
+    n_cells = flat.shape[0]
+    if n_cells < n_keep:
+        flat = jnp.pad(flat, (0, n_keep - n_cells))
+        cy = jnp.pad(cy.reshape(-1), (0, n_keep - n_cells))
+        cx = jnp.pad(cx.reshape(-1), (0, n_keep - n_cells))
+    else:
+        cy = cy.reshape(-1)
+        cx = cx.reshape(-1)
     top, idx = jax.lax.top_k(flat, n_keep)
-    ys = (idx // w).astype(jnp.float32)
-    xs = (idx % w).astype(jnp.float32)
+    ys = cy[idx].astype(jnp.float32)
+    xs = cx[idx].astype(jnp.float32)
     mask = top > 0
     return jnp.stack([xs, ys], -1), top, mask
 
 
 def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
                          pts: jax.Array, mask: jax.Array):
-    """Intensity-centroid angles + steered BRIEF for keypoints on one level."""
-    pad = _EXTRACT_RADIUS
-    raw_p = jnp.pad(img_raw, pad, mode="edge")
-    blur_p = jnp.pad(img_blur, pad, mode="edge")
+    """Intensity-centroid angles + steered BRIEF for keypoints on one level.
 
-    def one(pt):
-        iy = pt[1].astype(jnp.int32)
-        ix = pt[0].astype(jnp.int32)
-        # orientation from the raw image (cv::ORB: IC_Angle on the level image)
-        patch = jax.lax.dynamic_slice(
-            raw_p, (iy + pad - PATCH_RADIUS, ix + pad - PATCH_RADIUS),
-            (2 * PATCH_RADIUS + 1, 2 * PATCH_RADIUS + 1),
-        )
-        m10 = jnp.sum(patch * CENTROID_X)
-        m01 = jnp.sum(patch * CENTROID_Y)
-        angle = jnp.arctan2(m01, m10)
+    TPU-first batched formulation — the naive per-point version
+    (vmap of dynamic_slice + a 512-element gather per keypoint) is
+    latency-bound at ~30 ms for the full pyramid:
 
-        # steered BRIEF from the blurred image
-        bpatch = jax.lax.dynamic_slice(
-            blur_p, (iy, ix), (_EXTRACT, _EXTRACT)
-        )  # top-left at (iy+pad-pad): centered at keypoint with radius pad
-        c, s = jnp.cos(angle), jnp.sin(angle)
+    1. all (EXTRACT x EXTRACT) patches at once via two one-hot matmuls on
+       the MXU (row-select @ image @ col-select) — ~12 GFLOP, microseconds;
+    2. intensity-centroid moments as one einsum against the circular masks;
+    3. steering quantized to 30 orientation bins (the ORB paper's 2π/30
+       increments, §4.1): ONE matmul samples every bin's rotated pattern
+       (patch_flat @ E, E built in-trace from STEERED_LIN_*), then each
+       keypoint selects its bin's 256 columns with a masked sum.
+    """
+    n = pts.shape[0]
+    h, w = img_raw.shape
+    rad = _EXTRACT_RADIUS
 
-        def sample(pattern):
-            rx = jnp.round(c * pattern[:, 0] - s * pattern[:, 1]).astype(jnp.int32)
-            ry = jnp.round(s * pattern[:, 0] + c * pattern[:, 1]).astype(jnp.int32)
-            lin = (ry + _EXTRACT_RADIUS) * _EXTRACT + (rx + _EXTRACT_RADIUS)
-            return bpatch.reshape(-1)[lin]
+    iy = jnp.clip(jnp.round(pts[:, 1]).astype(jnp.int32) - rad, 0, h - _EXTRACT)
+    ix = jnp.clip(jnp.round(pts[:, 0]).astype(jnp.int32) - rad, 0, w - _EXTRACT)
 
-        v1 = sample(BRIEF_PATTERN_1)
-        v2 = sample(BRIEF_PATTERN_2)
-        bits = jnp.where(v1 < v2, jnp.int8(1), jnp.int8(-1))
-        return angle, bits
+    # --- patch extraction: one-hot row/col selection on the MXU -------------
+    both = jnp.stack([img_raw, img_blur]).astype(jnp.bfloat16)   # (2, H, W)
+    yidx = iy[:, None] + jnp.arange(_EXTRACT)[None, :]           # (N, P)
+    rsel = (yidx[:, :, None] == jnp.arange(h)[None, None, :]).astype(jnp.bfloat16)
+    rows = jnp.einsum("nph,chw->ncpw", rsel, both,
+                      preferred_element_type=jnp.float32)        # (N, 2, P, W)
+    xidx = ix[:, None] + jnp.arange(_EXTRACT)[None, :]           # (N, P)
+    csel = (jnp.arange(w)[None, :, None] == xidx[:, None, :]).astype(jnp.bfloat16)
+    patches = jnp.einsum("ncpw,nwq->ncpq", rows.astype(jnp.bfloat16), csel,
+                         preferred_element_type=jnp.float32)     # (N, 2, P, P)
 
-    angles, descs = jax.vmap(one)(pts)
-    descs = jnp.where(mask[:, None], descs, jnp.int8(0))
+    # --- orientation: intensity centroid on the raw patch -------------------
+    off = rad - PATCH_RADIUS
+    raw31 = patches[:, 0, off : off + 2 * PATCH_RADIUS + 1,
+                    off : off + 2 * PATCH_RADIUS + 1]
+    m10 = jnp.einsum("npq,pq->n", raw31, CENTROID_X)
+    m01 = jnp.einsum("npq,pq->n", raw31, CENTROID_Y)
+    angles = jnp.arctan2(m01, m10)
+    bins = jnp.mod(
+        jnp.round(angles * (N_ANGLE_BINS / (2.0 * jnp.pi))).astype(jnp.int32),
+        N_ANGLE_BINS,
+    )
+
+    # --- steered BRIEF: one sampling matmul over all bins -------------------
+    flat = patches[:, 1].reshape(n, _EXTRACT * _EXTRACT).astype(jnp.bfloat16)
+    lin = jnp.concatenate(
+        [jnp.asarray(STEERED_LIN_1), jnp.asarray(STEERED_LIN_2)], axis=1
+    ).reshape(-1)                                    # (30*512,)
+    # anchor E on the input so XLA does not constant-fold a 70 MB one-hot
+    # into the executable (built per call instead: ~36M fused compares)
+    anchor = (both[0, 0, 0] * 0.0 + 1.0).astype(jnp.bfloat16)
+    esel = (
+        jnp.arange(_EXTRACT * _EXTRACT)[:, None] == lin[None, :]
+    ).astype(jnp.bfloat16) * anchor                  # (P², 30*512)
+    sampled = jnp.matmul(flat, esel, preferred_element_type=jnp.float32)
+    sampled = sampled.reshape(n, N_ANGLE_BINS, 2, 256)
+
+    v = jnp.zeros((n, 2, 256), jnp.float32)
+    for b in range(N_ANGLE_BINS):
+        v = v + jnp.where((bins == b)[:, None, None], sampled[:, b], 0.0)
+
+    bits = jnp.where(v[:, 0] < v[:, 1], jnp.int8(1), jnp.int8(-1))
+    descs = jnp.where(mask[:, None], bits, jnp.int8(0))
     return angles, descs
 
 
