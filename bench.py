@@ -367,7 +367,10 @@ CONFIGS = {
     4: dict(name="1080p SIFT registration lock + ECC",
             size=(1080, 1920), working=360, mode="sift"),
     5: dict(name="batched 8-stream 1080p translation-lock",
-            size=(1080, 1920), working=360, mode="tlock", streams=8),
+            size=(1080, 1920), working=360, mode="tlock", streams=8,
+            # 8 streams x 1080p: footage + ring + double-buffered outputs
+            # approach HBM capacity; 24 frames keeps ~3 GB headroom
+            max_frames=24),
 }
 
 MODE_MAP = {
@@ -385,16 +388,25 @@ def bench_one(idx, args):
     spec = CONFIGS[idx]
     h, w = spec["size"]
     n_streams = spec.get("streams", 1)
+    n_frames = min(args.frames, spec.get("max_frames", args.frames))
     mode = StabilizationMode[MODE_MAP[spec["mode"]]]
     cfg = engine_config(h, w, spec["working"], args.past, args.future,
                         ecc=(spec["mode"] == "sift"))
 
     log(f"config {idx}: {spec['name']}")
-    log(f"rendering {args.frames} frames x {n_streams} stream(s) at {w}x{h}...")
-    footage, traj = make_footage(args.frames, h, w, n_streams)
+    log(f"rendering {n_frames} frames x {n_streams} stream(s) at {w}x{h}...")
+    footage, traj = make_footage(n_frames, h, w, n_streams)
 
     log("TPU throughput (scan)...")
-    tpu_fps = bench_throughput_scan(footage, cfg, mode, n_streams)
+    if n_streams > 1:
+        # pin the mode at trace time: a vmapped lax.switch would otherwise
+        # run ORB+SIFT+accum for every stream (engine config.static_mode)
+        import dataclasses
+
+        cfg_thr = dataclasses.replace(cfg, static_mode=int(mode))
+    else:
+        cfg_thr = cfg
+    tpu_fps = bench_throughput_scan(footage, cfg_thr, mode, n_streams)
     log(f"TPU: {tpu_fps:.1f} frames/sec/chip")
 
     result = {"name": spec["name"], "tpu_fps_per_chip": round(tpu_fps, 2)}
@@ -413,7 +425,7 @@ def bench_one(idx, args):
         result["per_stream_fps"] = round(tpu_fps / n_streams, 2)
 
     if not args.skip_baseline:
-        n_base = min(args.baseline_frames, args.frames)
+        n_base = min(args.baseline_frames, n_frames)
         log(f"OpenCV-CPU baseline ({n_base} frames)...")
         first = footage[:n_base, 0] if n_streams > 1 else footage[:n_base]
         frames_np = [np.asarray(f) for f in first]

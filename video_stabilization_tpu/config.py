@@ -185,6 +185,14 @@ class StabilizerConfig:
     # holds for stabilization corrections).
     warp_projective_fallback: bool = True
 
+    # Pin the stabilization mode at trace time.  None (default) keeps the
+    # reference's runtime mode switching (lax.switch on the carried mode) —
+    # correct single-stream, but under vmap a batched switch runs EVERY
+    # branch for every stream (ORB + SIFT + accumulated, ~5x the step).
+    # Stream-batched throughput paths set this to the int StabilizationMode
+    # so only one branch is traced.
+    static_mode: int | None = None
+
     # Compute dtype for image ops on TPU (3x3 transform math is always f32).
     image_dtype: str = "float32"
 

@@ -165,13 +165,17 @@ def stabilize_step(
         StabilizationMode.TRANSLATION_LOCK,
         StabilizationMode.ROTATION_LOCK,
     )
+    mode_val = (
+        carry.mode if config.static_mode is None
+        else jnp.asarray(config.static_mode, jnp.int32)
+    )
     if config.reference_compat:
         # reference: TRANSLATION/ROTATION locks are no-ops (H_lock identity,
         # src/stabilizer.cpp:790); only ACCUMULATED accumulates.
-        in_accum_mode = carry.mode == int(StabilizationMode.ACCUMULATED_FULL_LOCK)
+        in_accum_mode = mode_val == int(StabilizationMode.ACCUMULATED_FULL_LOCK)
     else:
         in_accum_mode = jnp.isin(
-            carry.mode, jnp.array([int(m) for m in accum_modes])
+            mode_val, jnp.array([int(m) for m in accum_modes])
         )
 
     advanced = (n_after - 1 - future) >= 1
@@ -226,13 +230,26 @@ def stabilize_step(
             carry.orb_ref, res.ref, res.prev_h,
         )
 
-    branch_idx = jnp.where(
-        carry.mode == int(StabilizationMode.ORB_FULL_LOCK), 1,
-        jnp.where(carry.mode == int(StabilizationMode.SIFT_FULL_LOCK), 2, 0),
-    )
-    (h_lock, accum_h, accum_active, orb_ref, sift_ref, lock_prev_h) = (
-        jax.lax.switch(branch_idx, [accum_branch, orb_branch, sift_branch], None)
-    )
+    if config.static_mode is None:
+        # runtime mode switching (reference semantics): lax.switch runs the
+        # selected branch only — correct and cheap single-stream
+        branch_idx = jnp.where(
+            carry.mode == int(StabilizationMode.ORB_FULL_LOCK), 1,
+            jnp.where(carry.mode == int(StabilizationMode.SIFT_FULL_LOCK), 2, 0),
+        )
+        (h_lock, accum_h, accum_active, orb_ref, sift_ref, lock_prev_h) = (
+            jax.lax.switch(branch_idx, [accum_branch, orb_branch, sift_branch], None)
+        )
+    else:
+        # mode pinned at trace time (stream-batched throughput path): only
+        # the needed branch is traced, so vmap never pays for the others
+        static_branch = {
+            int(StabilizationMode.ORB_FULL_LOCK): orb_branch,
+            int(StabilizationMode.SIFT_FULL_LOCK): sift_branch,
+        }.get(int(config.static_mode), accum_branch)
+        (h_lock, accum_h, accum_active, orb_ref, sift_ref, lock_prev_h) = (
+            static_branch(None)
+        )
 
     # -- 7. rotation split ----------------------------------------------------
     lock_params, lock_ok = decompose_homography(h_lock, center)
@@ -245,12 +262,15 @@ def stabilize_step(
     branches = [
         lambda: h_smooth,            # GLOBAL_SMOOTHING = 0
         lambda: h_lock,              # ACCUMULATED_FULL_LOCK = 1
-        lambda: h_lock,              # ORB_FULL_LOCK = 2 (registration TBD)
-        lambda: h_lock,              # SIFT_FULL_LOCK = 3 (registration TBD)
+        lambda: h_lock,              # ORB_FULL_LOCK = 2 (registration vs ref)
+        lambda: h_lock,              # SIFT_FULL_LOCK = 3 (registration vs ref)
         lambda: h_translation_lock,  # TRANSLATION_LOCK = 4
         lambda: h_rotation_lock,     # ROTATION_LOCK = 5
     ]
-    h_stabilize = jax.lax.switch(carry.mode, branches)
+    if config.static_mode is None:
+        h_stabilize = jax.lax.switch(carry.mode, branches)
+    else:
+        h_stabilize = branches[int(config.static_mode)]()
 
     # -- 9. rescale + warp ----------------------------------------------------
     # conjugate working-res H to full res: the affine block is scale-

@@ -55,10 +55,13 @@ CENTROID_MASK = np.asarray(_CIRC, np.float32)
 CENTROID_X = np.asarray(_xx * _CIRC, np.float32)
 CENTROID_Y = np.asarray(_yy * _CIRC, np.float32)
 
-# --- quantized steering (ORB paper §4.1: 2π/30 increments) -------------------
-# Per orientation bin, the rotated+rounded pattern as linear indices into the
-# flattened (EXTRACT x EXTRACT) patch.  Host numpy: 30 x 256 int32.
-N_ANGLE_BINS = 30
+# --- quantized steering (ORB paper §4.1 discretizes the steering angle;
+# the paper uses 2π/30 — we use 2π/72 so the worst-case sample displacement
+# at the pattern extremes stays under 1 px, which measurably improves
+# ref-vs-current descriptor stability when a keypoint's angle sits near a
+# bin boundary).  Per bin, the rotated+rounded pattern as linear indices
+# into the flattened (EXTRACT x EXTRACT) patch.  Host numpy: B x 256 int32.
+N_ANGLE_BINS = 72
 
 
 def _steered_lin(pattern: np.ndarray) -> np.ndarray:
@@ -153,11 +156,12 @@ def _detect_level(img: jax.Array, n_keep: int, fast_threshold: float,
         True) if (h > 2 * edge and w > 2 * edge) else jnp.zeros((h, w), bool)
     score = jnp.where(valid_region, _nms3(score), 0.0)
 
-    # cell-based selection: best responder per 4x4 cell, then top-k over
-    # cells — a top_k over H*W lanes costs a full sort of the level (~1 ms
-    # at 360p); cells cut the sort 16x and spread keypoints, which helps
-    # registration (same design as ops/gftt.py cell suppression).
-    cell = 4
+    # cell-based selection: best responder per cell, then top-k over cells —
+    # a top_k over H*W lanes costs a full sort of the level (~1 ms at 360p);
+    # cells cut the sort 16x and spread keypoints, which helps registration
+    # (same design as ops/gftt.py cell suppression).  Small levels keep
+    # 2px cells so tiny working resolutions retain enough candidates.
+    cell = 4 if min(h, w) >= 200 else 2
     gh, gw = -(-h // cell), -(-w // cell)
     rp = jnp.pad(score, ((0, gh * cell - h), (0, gw * cell - w)))
     cells = rp.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(
