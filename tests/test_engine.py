@@ -357,3 +357,30 @@ class TestStaticMode:
         np.testing.assert_allclose(np.asarray(a.carry.last_h),
                                    np.asarray(b.carry.last_h), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+class TestScanApi:
+    """make_scan_fn / Stabilizer.stabilize_clip: a whole-clip lax.scan must
+    be numerically identical to feeding frames one at a time."""
+
+    def test_scan_matches_per_frame(self, footage):
+        from video_stabilization_tpu.engine import make_scan_fn
+
+        cfg = small_config(past=4, future=2)
+        n = 8
+
+        step = make_step_fn(cfg)
+        carry = init_carry(cfg, int(StabilizationMode.GLOBAL_SMOOTHING),
+                           jax.random.key(7))
+        outs_step = []
+        for f in footage[:n]:
+            carry, (out, _) = step(carry, jnp.asarray(f))
+            outs_step.append(np.asarray(out))
+
+        scan = make_scan_fn(cfg)
+        carry2 = init_carry(cfg, int(StabilizationMode.GLOBAL_SMOOTHING),
+                            jax.random.key(7))
+        carry2, (outs, valid) = scan(carry2, jnp.asarray(footage[:n]))
+        np.testing.assert_array_equal(np.asarray(outs), np.stack(outs_step))
+        np.testing.assert_allclose(np.asarray(carry.last_h),
+                                   np.asarray(carry2.last_h), atol=1e-6)

@@ -183,3 +183,37 @@ class TestLK:
         res = lk_track(pyr_a, pyr_b, jnp.asarray(pts), jnp.asarray([True, False]))
         assert not bool(res.status[1])
         np.testing.assert_allclose(res.points[1], pts[1])  # untouched
+
+
+class TestCv2ExactTracker:
+    def test_matches_cv2_endpoints(self):
+        """LKConfig(method='cv2exact') — gradient-descent LK with OpenCV's
+        iteration schedule — must agree with cv2.calcOpticalFlowPyrLK
+        endpoints to sub-0.1px median on identical corners (the fidelity
+        referee used by bench.py's reference-compat drift gate)."""
+        from video_stabilization_tpu.sim import move_right
+
+        tex = make_default_texture(jax.random.key(0), size=512)
+        pa = DEFAULT_APP_PARAMS
+        pb = roll_clockwise(move_right(pa, 0.3), 0.25)
+        ga = cv2.cvtColor(np.asarray(render_frame(tex, pa, H, W)), cv2.COLOR_BGR2GRAY)
+        gb = cv2.cvtColor(np.asarray(render_frame(tex, pb, H, W)), cv2.COLOR_BGR2GRAY)
+        corners = cv2.goodFeaturesToTrack(ga, 150, 0.01, 10).reshape(-1, 2)
+        ref_pts, ref_st, _ = cv2.calcOpticalFlowPyrLK(
+            ga, gb, corners.reshape(-1, 1, 2), None, winSize=(21, 21),
+            maxLevel=3,
+            criteria=(cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 50, 0.01),
+            minEigThreshold=1e-4,
+        )
+        ref_pts = ref_pts.reshape(-1, 2)
+        ref_st = ref_st.reshape(-1).astype(bool)
+
+        pyr_a = build_pyramid(jnp.asarray(ga, jnp.float32), 3)
+        pyr_b = build_pyramid(jnp.asarray(gb, jnp.float32), 3)
+        res = lk_track(pyr_a, pyr_b, jnp.asarray(corners),
+                       jnp.ones(len(corners), bool), LKConfig(method="cv2exact"))
+        sel = np.asarray(res.status) & ref_st
+        d = np.linalg.norm(np.asarray(res.points)[sel] - ref_pts[sel], axis=-1)
+        assert sel.sum() > 100
+        assert np.median(d) < 0.05
+        assert (d < 0.2).mean() > 0.85

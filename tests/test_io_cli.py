@@ -209,3 +209,21 @@ class TestHeadlessApp:
             max_frames=6, display=False, motion_model="affine",
         )
         assert run(cfg) == 0
+
+    def test_stats_flag_headless(self, capsys):
+        """--stats prints the printTimings-style kernel taxonomy at startup
+        and per-second fps/step/inlier lines (reference:
+        src/stabilizer.cpp:982-1009, 667-702)."""
+        from video_stabilization_tpu.cli.app import run
+        from video_stabilization_tpu.cli.args import AppConfig
+
+        cfg = AppConfig(
+            input_mode="simulator", past_window_secs=0.2,
+            future_window_secs=0.1, working_height=180,
+            max_frames=6, display=False, stats=True,
+        )
+        assert run(cfg) == 0
+        out = capsys.readouterr().out
+        assert "goodFeaturesToTrack" in out
+        assert "calcOpticalFlowPyrLK" in out
+        assert "warpPerspective" in out
