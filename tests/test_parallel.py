@@ -30,12 +30,19 @@ FH, FW = 120, 160
 
 
 def tiny_config():
+    # static_mode pins the smoothing branch at trace time — the recommended
+    # batched-throughput configuration (a vmapped lax.switch would compile
+    # AND run every lock branch per stream; see config.StabilizerConfig).
+    # It also keeps these tests within CI time budgets on 1-CPU hosts:
+    # static/dynamic equivalence is covered by test_engine.TestStaticMode,
+    # and the full dynamic-switch compile by TestGraftEntry's dryrun.
     return StabilizerConfig(
         past_frames=4, future_frames=2, working_height=100,
         frame_height=FH, frame_width=FW,
         gftt=GFTTConfig(max_features=128),
         lk=LKConfig(max_iters=10),
         ransac=RansacConfig(num_hypotheses=64),
+        static_mode=int(StabilizationMode.GLOBAL_SMOOTHING),
     )
 
 
