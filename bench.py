@@ -502,28 +502,34 @@ def main():
 
     todo = [args.config] if args.config else sorted(CONFIGS)
     results = {}
+
+    def emit():
+        # cumulative summary line after EVERY config: if an external time
+        # cap kills the process mid-run, the last complete stdout line is
+        # still a valid result for the configs measured so far
+        head_idx = args.config if args.config else 1
+        head = results.get(head_idx) or next(iter(results.values()))
+        out = {
+            "metric": f"frames/sec/chip, {head['name']}",
+            "value": head.get("tpu_fps_per_chip"),
+            "unit": "fps",
+            "vs_baseline": head.get("vs_baseline"),
+        }
+        for k in ("p50_latency_ms", "p99_latency_ms", "step_ms_pipelined",
+                  "corner_drift_vs_truth_px", "opencv_drift_vs_truth_px",
+                  "drift_vs_reference_px"):
+            if k in head:
+                out[k] = head[k]
+        out["configs"] = {str(k): v for k, v in results.items()}
+        print(json.dumps(out), flush=True)
+
     for idx in todo:
         try:
             results[idx] = bench_one(idx, args)
         except Exception as e:  # keep the driver contract on partial failure
             log(f"config {idx} FAILED: {type(e).__name__}: {e}")
             results[idx] = {"name": CONFIGS[idx]["name"], "error": str(e)[:300]}
-
-    head_idx = args.config if args.config else 1
-    head = results[head_idx]
-    out = {
-        "metric": f"frames/sec/chip, {head['name']}",
-        "value": head.get("tpu_fps_per_chip"),
-        "unit": "fps",
-        "vs_baseline": head.get("vs_baseline"),
-    }
-    for k in ("p50_latency_ms", "p99_latency_ms", "step_ms_pipelined",
-              "corner_drift_vs_truth_px", "opencv_drift_vs_truth_px",
-              "drift_vs_reference_px"):
-        if k in head:
-            out[k] = head[k]
-    out["configs"] = {str(k): v for k, v in results.items()}
-    print(json.dumps(out))
+        emit()
 
 
 if __name__ == "__main__":
