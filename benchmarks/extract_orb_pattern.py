@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Recover cv2.ORB's learned 256-pair BRIEF test pattern by black-box probing.
+
+The reference's ORB mode inherits OpenCV's learned bit pattern
+(``bit_pattern_31_`` in opencv/modules/features2d/src/orb.cpp, used at
+/root/reference/src/stabilizer.cpp:483-493 via cv::ORB defaults).  The table
+is compiled into the cv2 binary and not exposed to Python — but it is fully
+observable: for a keypoint with angle 0 at octave 0, descriptor bit k is
+``blur(I)[kp + p0_k] < blur(I)[kp + p1_k]`` with ``blur`` =
+GaussianBlur(7x7, sigma 2, BORDER_REFLECT_101).  Feeding M random images and
+matching each bit's response vector against the sign vectors of all 961^2
+candidate offset pairs identifies (p0_k, p1_k) uniquely (collision
+probability 2^-M per pair).
+
+Writes ``video_stabilization_tpu/ops/orb_pattern.py`` with the recovered
+(256, 2) int arrays and self-verifies on held-out images (prints the exact
+bit agreement rate; must be 1.0).
+
+Run once: python benchmarks/extract_orb_pattern.py
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SIZE = 96                 # probe image side (keypoint at center)
+M = 192                   # probe images used for identification
+M_VERIFY = 64             # held-out verification images
+R = 15                    # pattern offsets live in [-15, 15] (patch 31)
+SIDE = 2 * R + 1          # 31
+
+
+def probe_images(n, seed):
+    rng = np.random.default_rng(seed)
+    imgs = []
+    for _ in range(n):
+        # random multi-scale noise -> rich, non-degenerate blurred values
+        base = rng.integers(0, 256, (SIZE, SIZE)).astype(np.float32)
+        low = rng.integers(0, 256, (SIZE // 8, SIZE // 8)).astype(np.float32)
+        import cv2
+
+        low_up = cv2.resize(low, (SIZE, SIZE), interpolation=cv2.INTER_CUBIC)
+        img = np.clip(0.5 * base + 0.5 * low_up, 0, 255).astype(np.uint8)
+        imgs.append(img)
+    return imgs
+
+
+def descriptor_bits(orb, img):
+    """cv2.ORB descriptor bits for an angle-0 keypoint at the image center."""
+    import cv2
+
+    kp = cv2.KeyPoint(SIZE / 2.0, SIZE / 2.0, 31.0)
+    kp.angle = 0.0
+    kp.octave = 0
+    kp.class_id = 0
+    kps, desc = orb.compute(img, [kp])
+    assert len(kps) == 1 and desc.shape == (1, 32), (len(kps), desc)
+    return np.unpackbits(desc[0], bitorder="little")        # (256,)
+
+
+def blurred_samples(img):
+    """Blurred values at all (dy, dx) in [-R, R]^2 around the center,
+    flattened in raster order (dy major) -> (961,)."""
+    import cv2
+
+    b = cv2.GaussianBlur(img, (7, 7), 2, sigmaY=2,
+                         borderType=cv2.BORDER_REFLECT_101)
+    cy, cx = SIZE // 2, SIZE // 2
+    return b[cy - R : cy + R + 1, cx - R : cx + R + 1].astype(np.float32).ravel()
+
+
+def main():
+    import cv2
+
+    orb = cv2.ORB_create(nfeatures=500, nlevels=1, edgeThreshold=0,
+                         patchSize=31, fastThreshold=20)
+
+    print(f"probing with {M} images...", file=sys.stderr)
+    imgs = probe_images(M, seed=42)
+    bits = np.stack([descriptor_bits(orb, im) for im in imgs])     # (M, 256)
+    vals = np.stack([blurred_samples(im) for im in imgs])          # (M, 961)
+
+    n_pos = SIDE * SIDE
+    # pair signature: packed sign bits of (vals[:, a] < vals[:, b])
+    print("hashing all offset-pair sign vectors...", file=sys.stderr)
+    pair_index = {}
+    chunk = 48
+    for a0 in range(0, n_pos, chunk):
+        a1 = min(a0 + chunk, n_pos)
+        # (M, ca, n_pos) bool
+        lt = vals[:, a0:a1, None] < vals[:, None, :]
+        packed = np.packbits(lt, axis=0, bitorder="little")  # (M/8, ca, n_pos)
+        keys = packed.transpose(1, 2, 0).copy().view(
+            [("k", f"V{packed.shape[0]}")]
+        ).reshape(a1 - a0, n_pos)
+        for ai in range(a1 - a0):
+            for b in range(n_pos):
+                pair_index.setdefault(keys[ai, b].tobytes(), []).append(
+                    (a0 + ai, b)
+                )
+
+    bit_keys = np.packbits(bits, axis=0, bitorder="little")        # (M/8, 256)
+    p0 = np.zeros((256, 2), np.int32)   # (x, y)
+    p1 = np.zeros((256, 2), np.int32)
+    ambiguous = 0
+    for k in range(256):
+        key = bit_keys[:, k].tobytes()
+        cands = pair_index.get(key, [])
+        if not cands:
+            raise RuntimeError(f"bit {k}: no matching offset pair found")
+        if len(cands) > 1:
+            ambiguous += 1
+        a, b = cands[0]
+        # raster index -> (dx, dy); bit = val[a] < val[b] means a = p0, b = p1
+        p0[k] = (a % SIDE - R, a // SIDE - R)
+        p1[k] = (b % SIDE - R, b // SIDE - R)
+    print(f"recovered 256 pairs ({ambiguous} with >1 candidate — "
+          "functionally identical if any)", file=sys.stderr)
+
+    # ---- verification on held-out images ------------------------------------
+    vimgs = probe_images(M_VERIFY, seed=1234)
+    agree = []
+    for im in vimgs:
+        want = descriptor_bits(orb, im)
+        v = blurred_samples(im)
+        a_idx = (p0[:, 1] + R) * SIDE + (p0[:, 0] + R)
+        b_idx = (p1[:, 1] + R) * SIDE + (p1[:, 0] + R)
+        got = (v[a_idx] < v[b_idx]).astype(np.uint8)
+        agree.append((got == want).mean())
+    rate = float(np.mean(agree))
+    print(f"held-out exact bit agreement: {rate:.6f}", file=sys.stderr)
+    assert rate == 1.0, "extraction failed verification"
+
+    out_path = "/root/repo/video_stabilization_tpu/ops/orb_pattern.py"
+    with open(out_path, "w") as f:
+        f.write(
+            '"""cv2.ORB\'s learned 256-pair BRIEF pattern '
+            "(bit_pattern_31_), recovered\n"
+            "by black-box probing of the installed OpenCV binary "
+            "(benchmarks/extract_orb_pattern.py; held-out bit agreement "
+            "1.0).\n\n"
+            "Bit k of the descriptor is blur(I)[kp + P0[k]] < "
+            "blur(I)[kp + P1[k]]\n"
+            "for an angle-0 keypoint; cv::ORB rotates both offsets by the "
+            "keypoint\nangle before sampling (orb.cpp GET_VALUE).  "
+            "Offsets are (x, y).\n"
+            '"""\n\n'
+            "import numpy as np\n\n"
+            f"CV2_ORB_P0 = np.array({p0.tolist()}, np.float32)\n\n"
+            f"CV2_ORB_P1 = np.array({p1.tolist()}, np.float32)\n"
+        )
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,15 @@ import jax  # noqa: E402
 # override it back so tests run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the engine-step compiles dominate suite time
+# on this single-core host; cached executables make reruns minutes faster.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/vstab_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

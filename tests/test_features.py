@@ -217,3 +217,155 @@ class TestCv2ExactTracker:
         assert sel.sum() > 100
         assert np.median(d) < 0.05
         assert (d < 0.2).mean() > 0.85
+
+
+class TestCv2ExactGFTT:
+    def test_greedy_fixpoint_equals_sequential(self):
+        """The parallel priority-MIS fixpoint must reproduce OpenCV's
+        sequential greedy suppression decisions exactly (including the
+        rounded-cell 3x3-neighborhood quirk) on adversarial random input."""
+        from video_stabilization_tpu.ops.gftt import _greedy_cv2exact
+
+        rng = np.random.default_rng(7)
+        m, k, min_dist = 500, 120, 7.3
+        pts = rng.integers(0, 120, size=(m, 2)).astype(np.float32)
+        resp = rng.permutation(m).astype(np.float32) + 1.0
+        order = np.argsort(-resp)
+        pts, resp = pts[order], resp[order]
+
+        # sequential replica of cv2's loop (grid of round(minDistance) cells,
+        # 3x3 neighborhood check, strict < minDistance^2 rejection)
+        cell = int(round(min_dist))
+        accepted = []
+        for i in range(m):
+            cx, cy = int(pts[i, 0]) // cell, int(pts[i, 1]) // cell
+            ok = True
+            for j in accepted:
+                jx, jy = int(pts[j, 0]) // cell, int(pts[j, 1]) // cell
+                if abs(jx - cx) <= 1 and abs(jy - cy) <= 1:
+                    d2 = ((pts[i] - pts[j]) ** 2).sum()
+                    if d2 < min_dist * min_dist:
+                        ok = False
+                        break
+            if ok:
+                accepted.append(i)
+                if len(accepted) == k:
+                    break
+        want = pts[accepted]
+
+        got = _greedy_cv2exact(
+            jnp.asarray(pts), jnp.asarray(resp), jnp.ones(m, bool),
+            min_dist, k,
+        )
+        got_pts = np.asarray(got.points)[np.asarray(got.mask)]
+        assert got_pts.shape == want.shape
+        np.testing.assert_array_equal(got_pts, want)
+
+    def test_matches_cv2_corner_list(self):
+        """selection='cv2exact' must return (essentially) cv2's corner list:
+        same pipeline, same greedy decisions; residual mismatches only from
+        float near-ties in the response map."""
+        ga, _ = sim_pair()
+        cfg = GFTTConfig(max_features=1300, selection="cv2exact")
+        ours = good_features_to_track(jnp.asarray(ga, jnp.float32), cfg)
+        pts = np.asarray(ours.points)[np.asarray(ours.mask)]
+
+        ref = cv2.goodFeaturesToTrack(
+            ga, maxCorners=1300, qualityLevel=0.01, minDistance=5.0,
+            mask=None, blockSize=3,
+        ).reshape(-1, 2)
+
+        assert abs(len(pts) - len(ref)) <= max(3, int(0.01 * len(ref)))
+        set_ours = {(float(x), float(y)) for x, y in pts}
+        set_ref = {(float(x), float(y)) for x, y in ref}
+        overlap = len(set_ours & set_ref) / max(len(set_ref), 1)
+        assert overlap > 0.97, f"corner-set overlap {overlap:.3f}"
+
+    def test_dispatch_from_config(self):
+        ga, _ = sim_pair()
+        cfg = GFTTConfig(max_features=256, selection="cv2exact")
+        out = jax.jit(lambda x: good_features_to_track(x, cfg))(
+            jnp.asarray(ga, jnp.float32)
+        )
+        assert out.points.shape == (256, 2)
+        # min-distance actually enforced (exact semantics, not cells)
+        p = np.asarray(out.points)[np.asarray(out.mask)]
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(p).query(p, k=2)
+        assert d[:, 1].min() >= 5.0 - 1e-6
+
+
+class TestIndependentMotion:
+    """The dense tracker must not hand independently-moving points to RANSAC
+    as inliers (ADVICE r2: they would snap to the global motion and become
+    perfect inliers; reference semantics = per-point LK + RANSAC rejection,
+    src/stabilizer.cpp:170-275)."""
+
+    def _scene(self):
+        ga0, _ = sim_pair()
+        shift = np.float32([[1, 0, 3.0], [0, 1, -2.0]])
+        gb = cv2.warpAffine(ga0.astype(np.float32), shift, (W, H),
+                            borderMode=cv2.BORDER_REPLICATE)
+        # textured foreground block moving (+12, +9) relative to the scene
+        rng = np.random.default_rng(3)
+        block = cv2.GaussianBlur(
+            rng.integers(0, 255, (64, 64)).astype(np.uint8), (3, 3), 0.8
+        )
+        y0, x0 = 140, 260
+        ga = ga0.copy()
+        ga[y0:y0 + 64, x0:x0 + 64] = block
+        gb = gb.astype(np.uint8)
+        gb[y0 - 2 + 9:y0 + 62 + 9, x0 + 3 + 12:x0 + 67 + 12] = block
+        return ga, gb, (y0, x0)
+
+    def test_dense_drops_moving_object_points(self):
+        ga, gb, (y0, x0) = self._scene()
+        corners = cv2.goodFeaturesToTrack(ga, 400, 0.01, 10).reshape(-1, 2)
+        on_obj = (
+            (corners[:, 0] >= x0 + 4) & (corners[:, 0] < x0 + 60)
+            & (corners[:, 1] >= y0 + 4) & (corners[:, 1] < y0 + 60)
+        )
+        margin = 30
+        on_bg = ~(
+            (corners[:, 0] >= x0 - margin) & (corners[:, 0] < x0 + 64 + margin)
+            & (corners[:, 1] >= y0 - margin) & (corners[:, 1] < y0 + 64 + margin)
+        ) & (
+            (corners[:, 0] > 30) & (corners[:, 0] < W - 30)
+            & (corners[:, 1] > 30) & (corners[:, 1] < H - 30)
+        )
+        assert on_obj.sum() >= 5
+
+        pyr_a = build_pyramid(jnp.asarray(ga, jnp.float32), 3)
+        pyr_b = build_pyramid(jnp.asarray(gb, jnp.float32), 3)
+        res = lk_track(pyr_a, pyr_b, jnp.asarray(corners),
+                       jnp.ones(len(corners), bool), LKConfig(method="dense"))
+        st = np.asarray(res.status)
+
+        # moving-object points must be dropped, background points kept
+        assert st[on_obj].mean() < 0.3, (
+            f"{st[on_obj].mean():.0%} of moving-object points passed"
+        )
+        assert st[on_bg].mean() > 0.6
+        flow = np.asarray(res.points)[st & on_bg] - corners[st & on_bg]
+        np.testing.assert_allclose(np.median(flow, axis=0), [3.0, -2.0],
+                                   atol=0.15)
+
+    def test_global_fit_unbiased_by_object(self):
+        from video_stabilization_tpu.motion.ransac import (
+            estimate_similarity_ransac,
+        )
+
+        ga, gb, _ = self._scene()
+        corners = cv2.goodFeaturesToTrack(ga, 400, 0.01, 10).reshape(-1, 2)
+        pyr_a = build_pyramid(jnp.asarray(ga, jnp.float32), 3)
+        pyr_b = build_pyramid(jnp.asarray(gb, jnp.float32), 3)
+        res = lk_track(pyr_a, pyr_b, jnp.asarray(corners),
+                       jnp.ones(len(corners), bool), LKConfig(method="dense"))
+        fit = estimate_similarity_ransac(
+            jnp.asarray(corners), res.points, res.status, jax.random.key(0)
+        )
+        h = np.asarray(fit.h)
+        assert bool(fit.valid)
+        np.testing.assert_allclose(h[:2, 2], [3.0, -2.0], atol=0.2)
+        np.testing.assert_allclose(h[:2, :2], np.eye(2), atol=5e-3)

@@ -133,3 +133,56 @@ class TestMatching:
         d2 = d1 + noise
         m = match_l2(d1, jnp.ones(32, bool), d2, jnp.ones(32, bool))
         np.testing.assert_array_equal(np.asarray(m.idx), np.arange(32))
+
+
+class TestFactoredRotation:
+    def test_factored_rotation_exact(self):
+        """The rot90-factored descriptor sampler must reproduce the direct
+        72-bin steered lookup bit-for-bit (ops/orb.py _orient_and_describe;
+        near-tie bits within bf16 rounding of the patch values excluded)."""
+        from video_stabilization_tpu.ops.orb import (
+            _EXTRACT, _EXTRACT_RADIUS, _gauss7, _orient_and_describe,
+            CENTROID_X, CENTROID_Y, N_ANGLE_BINS, PATCH_RADIUS,
+            STEERED_LIN_1, STEERED_LIN_2,
+        )
+
+        rng = np.random.default_rng(11)
+        img = rng.uniform(0, 255, (160, 200)).astype(np.float32)
+        # smooth a little so orientations are well-defined
+        import scipy.ndimage as ndi
+
+        img = ndi.gaussian_filter(img, 1.2)
+        blur = np.asarray(_gauss7(jnp.asarray(img)))
+        pts = np.array(
+            [[60.0, 60.0], [100.0, 80.0], [140.0, 50.0], [80.0, 100.0],
+             [120.0, 90.0], [66.0, 77.0]], np.float32
+        )
+        mask = np.ones(len(pts), bool)
+        ang, desc = _orient_and_describe(
+            jnp.asarray(img), jnp.asarray(blur), jnp.asarray(pts),
+            jnp.asarray(mask),
+        )
+        desc = np.asarray(desc)
+
+        rad = _EXTRACT_RADIUS
+        checked = 0
+        for i, (x, y) in enumerate(pts):
+            iy = int(np.clip(round(y) - rad, 0, img.shape[0] - _EXTRACT))
+            ix = int(np.clip(round(x) - rad, 0, img.shape[1] - _EXTRACT))
+            praw = img[iy : iy + _EXTRACT, ix : ix + _EXTRACT]
+            pblur = blur[iy : iy + _EXTRACT, ix : ix + _EXTRACT].ravel()
+            off = rad - PATCH_RADIUS
+            raw31 = praw[off : off + 31, off : off + 31]
+            m10 = float((raw31 * CENTROID_X).sum())
+            m01 = float((raw31 * CENTROID_Y).sum())
+            b = int(np.round(np.arctan2(m01, m10) * (N_ANGLE_BINS / (2 * np.pi)))) % N_ANGLE_BINS
+            v0 = pblur[STEERED_LIN_1[b]]
+            v1 = pblur[STEERED_LIN_2[b]]
+            want = np.where(v0 < v1, 1, -1).astype(np.int8)
+            clear = np.abs(v0 - v1) > 1.0       # exclude bf16 near-ties
+            got = desc[i]
+            assert (got[clear] == want[clear]).all(), (
+                i, b, (got[clear] != want[clear]).sum()
+            )
+            checked += clear.sum()
+        assert checked > 1000

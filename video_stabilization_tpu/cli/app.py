@@ -203,7 +203,16 @@ def run(cfg: AppConfig) -> int:
                 break
 
             out = stab.stabilize_frame(frame)
-            original_buffer.append(frame)
+            if cfg.debug_features:
+                # corners detected on THIS frame (carry.corners_prev), kept
+                # alongside it in the sync buffer so the overlay drawn on the
+                # delayed original matches the displayed image, not a frame
+                # future_frames newer
+                dbg = (np.asarray(stab.carry.corners_prev),
+                       np.asarray(stab.carry.corners_mask))
+            else:
+                dbg = None
+            original_buffer.append((frame, dbg))
             n += 1
 
             now = time.perf_counter()
@@ -213,15 +222,22 @@ def run(cfg: AppConfig) -> int:
             if cfg.stats and (time.perf_counter() - stats_last) >= 1.0:
                 stats_last = time.perf_counter()
                 avg_ms = timer.averages().get("frame", float("nan"))
-                print(f"[stats] fps {1000.0 / max(avg_ms, 1e-3):6.1f} | "
-                      f"step {avg_ms:6.1f} ms | "
-                      f"RANSAC inliers {int(stab.carry.last_inliers):4d} | "
-                      f"mode {StabilizationMode(int(stab.carry.mode)).name}")
+                cur_mode = StabilizationMode(int(stab.carry.mode))
+                line = (f"[stats] fps {1000.0 / max(avg_ms, 1e-3):6.1f} | "
+                        f"step {avg_ms:6.1f} ms | "
+                        f"RANSAC inliers {int(stab.carry.last_inliers):4d}")
+                if cur_mode in (StabilizationMode.ORB_FULL_LOCK,
+                                StabilizationMode.SIFT_FULL_LOCK):
+                    # good-match telemetry of the registration lock
+                    # (reference logs per frame, src/stabilizer.cpp:667-702)
+                    line += (" | lock matches "
+                             f"{int(stab.carry.last_lock_matches):4d}")
+                print(line + f" | mode {cur_mode.name}")
 
             if len(original_buffer) <= future:
                 print(f"Buffering frames: {len(original_buffer)}/{future + 1}")
                 continue
-            delayed = original_buffer.popleft()
+            delayed, delayed_dbg = original_buffer.popleft()
 
             if cfg.trail:
                 # feathered trail compositing (the reference's dormant
@@ -254,11 +270,11 @@ def run(cfg: AppConfig) -> int:
                 if isinstance(source, SimulatorSource):
                     overlay += source.pose_text()
                 disp = _put_text(delayed.copy(), overlay)
-                if cfg.debug_features:
+                if cfg.debug_features and delayed_dbg is not None:
                     # tracked-corner overlay (the reference's "features"
-                    # debug window, src/stabilizer.cpp:628-634)
-                    pts = np.asarray(stab.carry.corners_prev)
-                    msk = np.asarray(stab.carry.corners_mask)
+                    # debug window, src/stabilizer.cpp:628-634), from the
+                    # corner set buffered with this delayed frame
+                    pts, msk = delayed_dbg
                     inv_s = 1.0 / engine_cfg.scale_factor
                     for x, y in pts[msk][:400]:
                         cv2.circle(disp, (int(x * inv_s), int(y * inv_s)), 3,

@@ -52,6 +52,15 @@ class GFTTConfig:
     min_distance_at_720: float = 10.0
     block_size: int = 3
     gradient_size: int = 3
+    # Corner-selection method (ops/gftt.py): "cell" = parallel cell-based
+    # suppression (fastest); "cv2exact" = OpenCV's greedy response-ordered
+    # min-distance suppression, reproduced exactly via a parallel MIS
+    # fixpoint (reference_compat drift benchmarks force this).
+    selection: str = "cell"
+    # cv2exact: NMS survivors considered by the greedy pass (top-M by
+    # response).  Exact iff the image has <= M survivors; 6144 covers 360p
+    # scenes with wide margin (typical counts are 2-4k).
+    max_candidates: int = 6144
 
 
 @dataclasses.dataclass(frozen=True)

@@ -42,6 +42,7 @@ class LockResult(NamedTuple):
     h_lock: jax.Array       # (3, 3)
     ref: RegistrationRef    # possibly newly captured reference
     prev_h: jax.Array       # updated sticky fallback
+    n_matches: jax.Array    # () int32 good matches (post ratio/dist filter)
 
 
 def _registration_lock(
@@ -66,7 +67,8 @@ def _registration_lock(
             gray=proc_gray, is_set=jnp.ones((), bool),
         )
         eye = jnp.eye(3, dtype=jnp.float32)
-        return LockResult(h_lock=eye, ref=new_ref, prev_h=eye)
+        return LockResult(h_lock=eye, ref=new_ref, prev_h=eye,
+                          n_matches=jnp.zeros((), jnp.int32))
 
     def register(_):
         if use_hamming:
@@ -97,13 +99,14 @@ def _registration_lock(
                 max_iters=config.ecc.max_iters, eps=config.ecc.epsilon,
             )
             h_rigid = jnp.where(ecc.valid, ecc.h, h_rigid)
+        n_good = jnp.sum(m.valid.astype(jnp.int32))
         enough = (
             (jnp.sum(feats_mask) >= config.ransac.min_points)
-            & (jnp.sum(m.valid) >= config.ransac.min_points)
+            & (n_good >= config.ransac.min_points)
         )
         ok = res.valid & rigid_ok & enough
         h = jnp.where(ok, _inv3x3(h_rigid), prev_h)   # curr->ref, sticky
-        return LockResult(h_lock=h, ref=ref, prev_h=h)
+        return LockResult(h_lock=h, ref=ref, prev_h=h, n_matches=n_good)
 
     return jax.lax.cond(ref.is_set, register, capture, None)
 

@@ -2,8 +2,8 @@
 
 Implements the moving-average smoothing homography Q_t of
 docs/math-overview.md ("Smoothing camera motion") as two fixed-length
-``lax.scan`` chains over the transform window (reference:
-src/stabilizer.cpp:793-852):
+masked ``associative_scan`` product chains over the transform window
+(log-depth batched 3x3 matmuls; reference: src/stabilizer.cpp:793-852):
 
     past side:    P_j = T[p-j]^-1 · P_{j-1}         (maps frame p -> p-j)
     future side:  F_j = T[p+j] · F_{j-1}            (maps frame p -> p+j+1)
@@ -60,52 +60,54 @@ def smoothing_homography(
     # Chronological transform i (0-based over valid suffix) lives at array
     # slot (wm1 - num_transforms + i).
     base = wm1 - num_transforms
-
-    def chrono(i):
-        idx = jnp.clip(base + i, 0, wm1 - 1)
-        t = transforms[idx]
-        v = tvalid[idx] & (i >= 0) & (i < num_transforms)
-        return t, v
-
     p = presentation_idx
     eye = jnp.eye(3, dtype=dtype)
 
-    # --- past side: j = 1 .. wm1, uses chronological transform p-j ----------
-    def past_step(carry, j):
-        accum = carry
-        t, v = chrono(p - j)
-        new_accum = jnp.matmul(_inv3x3(t), accum, precision=jax.lax.Precision.HIGHEST)
-        accum = jnp.where(v, new_accum, accum)
-        contrib = jnp.where(v, accum, jnp.zeros_like(accum))
-        return accum, (contrib, v)
+    # Both chains are cumulative 3x3 matrix products; a lax.scan runs them as
+    # ~2(W-1) *sequential* micro-matmuls (hundreds of dependent tiny ops at
+    # the reference's 106-frame window).  Masked lanes multiply by identity,
+    # so each chain is an ``associative_scan`` — log2(W) batched (W-1, 3, 3)
+    # matmul rounds (the BASELINE "fused lax.scan" north star, done one
+    # better; regrouping changes float results by ~1e-6 on rigid products).
+    def chrono_batch(idx):
+        # (W-1,) chronological indices -> (W-1, 3, 3) transforms + validity
+        slot = jnp.clip(base + idx, 0, wm1 - 1)
+        t = transforms[slot]
+        v = tvalid[slot] & (idx >= 0) & (idx < num_transforms)
+        return t, v
 
-    _, (past_terms, past_valid) = jax.lax.scan(
-        past_step, eye, jnp.arange(1, wm1 + 1)
-    )
+    def mul_lr(x, y):   # cumulative left-multiplication: result_j = A_j ... A_1
+        return jnp.matmul(y, x, precision=jax.lax.Precision.HIGHEST)
+
+    def mul_rl(x, y):   # cumulative right-multiplication: result_j = A_1 ... A_j
+        return jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST)
+
+    # --- past side: j = 1 .. wm1, accum_j = T[p-j]^-1 · accum_{j-1} ----------
+    t_past, v_past = chrono_batch(p - jnp.arange(1, wm1 + 1))
+    a_past = jnp.where(v_past[:, None, None], jax.vmap(_inv3x3)(t_past), eye)
+    past_terms = jax.lax.associative_scan(mul_lr, a_past)
+    past_valid = v_past
 
     # --- future side ---------------------------------------------------------
     # uses chronological transforms p, p+1, ...; bound excludes the newest
-    # transform in compat mode (reference quirk #1).
+    # transform in compat mode (reference quirk #1); compat chains on the
+    # RIGHT (reference quirk #3, src/stabilizer.cpp:834).
     last_allowed = num_transforms - (2 if reference_compat else 1)
-
-    def future_step(carry, j):
-        accum = carry
-        idx = p + j
-        t, v = chrono(idx)
-        v = v & (idx <= last_allowed)
-        if reference_compat:
-            new_accum = jnp.matmul(accum, t, precision=jax.lax.Precision.HIGHEST)
-        else:
-            new_accum = jnp.matmul(t, accum, precision=jax.lax.Precision.HIGHEST)
-        accum = jnp.where(v, new_accum, accum)
-        contrib = jnp.where(v, accum, jnp.zeros_like(accum))
-        return accum, (contrib, v)
-
-    _, (future_terms, future_valid) = jax.lax.scan(
-        future_step, eye, jnp.arange(0, wm1)
+    fidx = p + jnp.arange(0, wm1)
+    t_fut, v_fut = chrono_batch(fidx)
+    v_fut = v_fut & (fidx <= last_allowed)
+    b_fut = jnp.where(v_fut[:, None, None], t_fut, eye)
+    future_terms = jax.lax.associative_scan(
+        mul_rl if reference_compat else mul_lr, b_fut
     )
+    future_valid = v_fut
 
-    h_sum = jnp.sum(past_terms, axis=0) + jnp.sum(future_terms, axis=0)
+    mask_p = past_valid[:, None, None]
+    mask_f = future_valid[:, None, None]
+    h_sum = (
+        jnp.sum(jnp.where(mask_p, past_terms, 0.0), axis=0)
+        + jnp.sum(jnp.where(mask_f, future_terms, 0.0), axis=0)
+    )
     count = jnp.sum(past_valid) + jnp.sum(future_valid)
 
     if not reference_compat:

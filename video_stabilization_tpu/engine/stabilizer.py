@@ -90,35 +90,41 @@ def stabilize_step(
     key, k_ransac = jax.random.split(carry.key)
 
     # -- 1. working-res gray + pyramid ---------------------------------------
-    gray_full = bgr_to_gray(frame)
-    gray = resize_bilinear(gray_full, wh, ww)
-    pyr = build_pyramid(gray, config.lk.pyramid_levels)
+    # (named_scope annotations carry through to XLA op names, so profiler
+    # traces attribute device time to the reference's printTimings taxonomy —
+    # utils/stage_profile.py aggregates them)
+    with jax.named_scope("stage_gray_pyramid"):
+        gray_full = bgr_to_gray(frame)
+        gray = resize_bilinear(gray_full, wh, ww)
+        pyr = build_pyramid(gray, config.lk.pyramid_levels)
 
     # -- 2-3. track + estimate inter-frame motion ----------------------------
-    tracked = lk_track(carry.pyr_prev, pyr, carry.corners_prev,
-                       carry.corners_mask, config.lk)
-    if config.ransac.motion_model == "rigid":
-        # reference path: similarity fit, then kill isotropic scale about the
-        # image center (src/stabilizer.cpp:224-267)
-        ransac = estimate_similarity_ransac(
-            carry.corners_prev, tracked.points, tracked.status, k_ransac,
-            config.ransac,
-        )
-        t_rigid, _ = remove_isotropic_scale(ransac.h, center)
-    else:
-        # richer motion family: similarity hypotheses select inliers, the
-        # configured model refits on them (LO-RANSAC; models.motion_models)
-        from video_stabilization_tpu.models.motion_models import (
-            MotionModel, fit_motion,
-        )
+    with jax.named_scope("stage_lk"):
+        tracked = lk_track(carry.pyr_prev, pyr, carry.corners_prev,
+                           carry.corners_mask, config.lk)
+    with jax.named_scope("stage_fit"):
+        if config.ransac.motion_model == "rigid":
+            # reference path: similarity fit, then kill isotropic scale about
+            # the image center (src/stabilizer.cpp:224-267)
+            ransac = estimate_similarity_ransac(
+                carry.corners_prev, tracked.points, tracked.status, k_ransac,
+                config.ransac,
+            )
+            t_rigid, _ = remove_isotropic_scale(ransac.h, center)
+        else:
+            # richer motion family: similarity hypotheses select inliers, the
+            # configured model refits on them (LO-RANSAC; models.motion_models)
+            from video_stabilization_tpu.models.motion_models import (
+                MotionModel, fit_motion,
+            )
 
-        model = MotionModel(config.ransac.motion_model)
-        ransac = estimate_similarity_ransac(
-            carry.corners_prev, tracked.points, tracked.status, k_ransac,
-            config.ransac,
-            refit_fn=lambda s, d, w: fit_motion(model, s, d, w, center),
-        )
-        t_rigid = ransac.h
+            model = MotionModel(config.ransac.motion_model)
+            ransac = estimate_similarity_ransac(
+                carry.corners_prev, tracked.points, tracked.status, k_ransac,
+                config.ransac,
+                refit_fn=lambda s, d, w: fit_motion(model, s, d, w, center),
+            )
+            t_rigid = ransac.h
     is_first = carry.n == 0
     have_prev = carry.n >= 1
     t_new = jnp.where(have_prev & ransac.valid, t_rigid, jnp.eye(3))
@@ -154,9 +160,10 @@ def stabilize_step(
     )[0].astype(jnp.float32)
 
     # -- 5. smoothing --------------------------------------------------------
-    h_smooth = smoothing_homography(
-        transforms, tvalid, pres, num_tr, config.reference_compat
-    )
+    with jax.named_scope("stage_smoothing"):
+        h_smooth = smoothing_homography(
+            transforms, tvalid, pres, num_tr, config.reference_compat
+        )
 
     # -- 6. lock transform (accumulated / ORB / SIFT) -------------------------
     # Absolute presentation index advances iff n_after - 1 - future >= 1.
@@ -214,20 +221,21 @@ def stabilize_step(
         return (
             _inv3x3(accum_h), accum_h, accum_active,
             carry.orb_ref, carry.sift_ref, carry.lock_prev_h,
+            jnp.zeros((), jnp.int32),
         )
 
     def orb_branch(_):
         res = orb_lock(pres_frame, carry.orb_ref, carry.lock_prev_h, k_lock, config)
         return (
             res.h_lock, jnp.eye(3, dtype=jnp.float32), jnp.zeros((), bool),
-            res.ref, carry.sift_ref, res.prev_h,
+            res.ref, carry.sift_ref, res.prev_h, res.n_matches,
         )
 
     def sift_branch(_):
         res = sift_lock(pres_frame, carry.sift_ref, carry.lock_prev_h, k_lock, config)
         return (
             res.h_lock, jnp.eye(3, dtype=jnp.float32), jnp.zeros((), bool),
-            carry.orb_ref, res.ref, res.prev_h,
+            carry.orb_ref, res.ref, res.prev_h, res.n_matches,
         )
 
     if config.static_mode is None:
@@ -237,9 +245,13 @@ def stabilize_step(
             carry.mode == int(StabilizationMode.ORB_FULL_LOCK), 1,
             jnp.where(carry.mode == int(StabilizationMode.SIFT_FULL_LOCK), 2, 0),
         )
-        (h_lock, accum_h, accum_active, orb_ref, sift_ref, lock_prev_h) = (
-            jax.lax.switch(branch_idx, [accum_branch, orb_branch, sift_branch], None)
-        )
+        with jax.named_scope("stage_lock"):
+            (h_lock, accum_h, accum_active, orb_ref, sift_ref, lock_prev_h,
+             lock_matches) = (
+                jax.lax.switch(
+                    branch_idx, [accum_branch, orb_branch, sift_branch], None
+                )
+            )
     else:
         # mode pinned at trace time (stream-batched throughput path): only
         # the needed branch is traced, so vmap never pays for the others
@@ -247,9 +259,11 @@ def stabilize_step(
             int(StabilizationMode.ORB_FULL_LOCK): orb_branch,
             int(StabilizationMode.SIFT_FULL_LOCK): sift_branch,
         }.get(int(config.static_mode), accum_branch)
-        (h_lock, accum_h, accum_active, orb_ref, sift_ref, lock_prev_h) = (
-            static_branch(None)
-        )
+        with jax.named_scope("stage_lock"):
+            (h_lock, accum_h, accum_active, orb_ref, sift_ref, lock_prev_h,
+             lock_matches) = (
+                static_branch(None)
+            )
 
     # -- 7. rotation split ----------------------------------------------------
     lock_params, lock_ok = decompose_homography(h_lock, center)
@@ -277,28 +291,38 @@ def stabilize_step(
     # invariant, translation divides by the factor (reference does exactly
     # this, valid for its rigid model, src/stabilizer.cpp:1291-1296); a
     # projective row would multiply by it (homography model only).
-    h_scaled = h_stabilize.at[0:2, 2].set(h_stabilize[0:2, 2] / scale_factor)
-    avg_color = 0.5 * jnp.mean(pres_frame, axis=(0, 1))
-    if config.ransac.motion_model == "homography":
-        from video_stabilization_tpu.ops.warp import warp_perspective
+    with jax.named_scope("stage_warp"):
+        h_scaled = h_stabilize.at[0:2, 2].set(h_stabilize[0:2, 2] / scale_factor)
+        avg_color = 0.5 * jnp.mean(pres_frame, axis=(0, 1))
+        if config.ransac.motion_model == "homography":
+            from video_stabilization_tpu.ops.warp import warp_perspective
 
-        h_scaled = h_scaled.at[2, 0:2].set(h_scaled[2, 0:2] * scale_factor)
-        warped = warp_perspective(pres_frame, h_scaled, None, avg_color)
-    else:
-        # affine by construction (rigid/similarity/affine estimates, rigid
-        # accumulations, averages of those) -> Pallas 2-pass warp
-        warped = warp_affine(
-            pres_frame, h_scaled, border_value=avg_color,
-            projective_fallback=config.warp_projective_fallback,
-        )
-    warped_u8 = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
+            h_scaled = h_scaled.at[2, 0:2].set(h_scaled[2, 0:2] * scale_factor)
+            warped = warp_perspective(pres_frame, h_scaled, None, avg_color)
+        else:
+            # affine by construction (rigid/similarity/affine estimates, rigid
+            # accumulations, averages of those) -> Pallas 2-pass warp
+            warped = warp_affine(
+                pres_frame, h_scaled, border_value=avg_color,
+                projective_fallback=config.warp_projective_fallback,
+            )
+        warped_u8 = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
 
     # quirk #1: the first frame is returned unstabilized
     output = jnp.where(is_first, frame.astype(jnp.uint8), warped_u8)
     out_valid = jnp.ones((), bool)  # a frame is always emitted (app may buffer)
 
     # -- 10. features for the next frame --------------------------------------
-    corners = good_features_to_track(gray, config.gftt)
+    if config.reference_compat and config.gftt.selection != "cv2exact":
+        # drift-vs-reference parity needs cv2's exact greedy corner list
+        # (corner-set selection was the dominant drift term, VERDICT r2)
+        import dataclasses
+
+        gftt_cfg = dataclasses.replace(config.gftt, selection="cv2exact")
+    else:
+        gftt_cfg = config.gftt
+    with jax.named_scope("stage_gftt"):
+        corners = good_features_to_track(gray, gftt_cfg)
 
     new_carry = EngineCarry(
         frames=frames,
@@ -316,6 +340,7 @@ def stabilize_step(
         lock_prev_h=lock_prev_h,
         last_h=h_stabilize,
         last_inliers=ransac.num_inliers,
+        last_lock_matches=lock_matches,
         key=key,
     )
     return new_carry, (output, out_valid)
@@ -393,6 +418,7 @@ class Stabilizer:
             orb_ref=_cleared(self.carry.orb_ref),
             sift_ref=_cleared(self.carry.sift_ref),
             lock_prev_h=_jnp.eye(3, dtype=_jnp.float32),
+            last_lock_matches=_jnp.zeros((), _jnp.int32),
         )
 
     def stabilize_frame(self, frame) -> "jax.Array":

@@ -71,6 +71,10 @@ class EngineCarry(NamedTuple):
     # RANSAC inlier count of the last inter-frame fit — the match-quality
     # telemetry the reference logs per frame (src/stabilizer.cpp:667-702).
     last_inliers: jax.Array  # () int32
+    # Good-match count of the last ORB/SIFT registration (post ratio /
+    # mean-distance filter; reference logs at src/stabilizer.cpp:667-668,
+    # 698-702).  0 outside registration modes / before the reference is set.
+    last_lock_matches: jax.Array  # () int32
     # PRNG for RANSAC hypothesis sampling -----------------------------------
     key: jax.Array
 
@@ -113,5 +117,6 @@ def init_carry(config: StabilizerConfig, mode: int, key: jax.Array) -> EngineCar
         lock_prev_h=jnp.eye(3, dtype=jnp.float32),
         last_h=jnp.eye(3, dtype=jnp.float32),
         last_inliers=jnp.zeros((), jnp.int32),
+        last_lock_matches=jnp.zeros((), jnp.int32),
         key=key,
     )

@@ -23,13 +23,20 @@ architected so the hot loop contains ZERO per-point gathers:
 4. **One tiny sample.**  The per-point answer is a bilinear sample of the
    final dense maps at the query corners — the only gather, ~1300 x 4 taps.
 
-Status semantics match the sparse path: tracked iff the template has texture
-(min eigenvalue of the 21x21 structure tensor over Scharr/32 gradients,
-threshold ``min_eig_threshold``), the endpoint stays in bounds, and the
-residual is finite.  Points deviating from the global motion by more than
-the per-level residual search ranges (independently moving objects) converge
-to the global motion and are rejected by the engine's RANSAC as before —
-for general-scene per-point tracking use ``LKConfig(method="sweep")``.
+Status semantics: tracked iff the template has texture (min eigenvalue of
+the 21x21 structure tensor over Scharr/32 gradients, threshold
+``min_eig_threshold``), the endpoint stays in bounds, and the residual is
+finite.  **Independent motion caveat**: the dense chain estimates ONE global
+similarity, so points on independently moving objects are *snapped onto the
+global motion* — unlike the reference's per-point LK they would come back as
+perfect inliers, silently moving outlier rejection out of RANSAC.  Two
+gates restore per-point semantics: (a) the per-point Newton polish drops
+points whose correction step saturates its trust clip (the dense estimate
+was wrong by > the clip — a moving object), and (b) points whose sampled
+patch residual is far above the valid-point cohort's median are dropped
+(large-but-sub-clip independent motion and occlusions).  Points moving
+within ~1 px of the global motion remain inliers; for true per-point
+tracking of general dynamic scenes use ``LKConfig(method="sweep")``.
 
 ~6x faster than the per-point SSD-sweep path at 360p/1300 corners on TPU
 (the sweep's per-point region extraction was row-gather latency-bound).
@@ -77,15 +84,21 @@ def _dense_residual_flow(
     side = 2 * srange + 1
     jp = jnp.pad(img_j, srange)
     b2p = _box_same(jp * jp, win)           # box(J²) once; shifts commute
-    i2b = _box_same(img_i * img_i, win)
 
-    maps = []
-    for sy in range(side):
-        for sx in range(side):
-            js = jax.lax.slice(jp, (sy, sx), (sy + h, sx + w))
-            b2 = jax.lax.slice(b2p, (sy, sx), (sy + h, sx + w))
-            maps.append(b2 - 2.0 * _box_same(js * img_i, win) + i2b)
-    surf = jnp.stack(maps)                   # (side², H, W)
+    # Stack ALL side² shifted cross-products and box-filter the stack with
+    # ONE cumsum pair: the round-2 per-shift loop emitted side² separate box
+    # filters (~1500 tiny HLOs at side=17 — op-dispatch-bound on a 45x80
+    # level); a (side², H, W) batch keeps the same FLOPs in ~10 large ops.
+    cross = jnp.stack([
+        jax.lax.slice(jp, (sy, sx), (sy + h, sx + w))
+        for sy in range(side) for sx in range(side)
+    ]) * img_i[None]                         # (side², H, W)
+    b2 = jnp.stack([
+        jax.lax.slice(b2p, (sy, sx), (sy + h, sx + w))
+        for sy in range(side) for sx in range(side)
+    ])
+    i2b = _box_same(img_i * img_i, win)
+    surf = b2 - 2.0 * _box_same(cross, win) + i2b[None]   # (side², H, W)
 
     amin = jnp.argmin(surf, axis=0)
     ay = amin // side
@@ -93,12 +106,13 @@ def _dense_residual_flow(
     ayc = jnp.clip(ay, 1, side - 2)
     axc = jnp.clip(ax, 1, side - 2)
 
+    karange = jnp.arange(side * side, dtype=jnp.int32)[:, None, None]
+
     def pick(dy, dx):
+        # one-hot reduction over the stacked axis (single fused op, vs the
+        # round-2 side²-iteration where-accumulate chain)
         idx = (ayc + dy) * side + (axc + dx)
-        acc = jnp.zeros((h, w), surf.dtype)
-        for k in range(side * side):
-            acc = acc + jnp.where(idx == k, surf[k], 0.0)
-        return acc
+        return jnp.sum(jnp.where(idx[None] == karange, surf, 0.0), axis=0)
 
     c0 = pick(0, 0)
     cxm, cxp = pick(0, -1), pick(0, 1)
@@ -353,6 +367,7 @@ def lk_track_dense(
         pdet_s = jnp.where(p_ok, pdet, 1.0)
 
         v = new_pts
+        saturated = jnp.zeros((points.shape[0],), bool)
         for _ in range(config.corner_polish_iters):
             jpatch = _extract_patches(img_j_p, v - half + pad, win)
             r = jpatch - ipatch
@@ -361,10 +376,20 @@ def lk_track_dense(
             dx = -(pgyy * bx - pgxy * by) / pdet_s
             dy = -(pgxx * by - pgxy * bx) / pdet_s
             step = jnp.stack([dx, dy], axis=-1)
-            # trust region: the dense estimate is within ~1 px already
+            # trust region: the dense estimate is within ~1 px for points on
+            # the global motion.  A saturating step means the dense estimate
+            # was off by more than the clip — an independently moving point
+            # the dense chain snapped to the global motion; drop it (the
+            # reference's per-point LK would have tracked it elsewhere and
+            # RANSAC would have rejected it).
+            saturated = saturated | (
+                p_ok & (jnp.max(jnp.abs(step), axis=-1) > 1.5)
+            )
             step = jnp.clip(step, -1.5, 1.5)
             v = v + jnp.where(p_ok[:, None], step, 0.0)
         new_pts = v
+    else:
+        saturated = jnp.zeros((points.shape[0],), bool)
     in_final = (
         (new_pts[:, 0] >= 0.0) & (new_pts[:, 1] >= 0.0)
         & (new_pts[:, 0] < w0) & (new_pts[:, 1] < h0)
@@ -372,6 +397,18 @@ def lk_track_dense(
     status = (
         valid & in_final & (me_pts > config.min_eig_threshold)
         & jnp.isfinite(err_pts) & jnp.all(jnp.isfinite(new_pts), axis=-1)
+        & ~saturated
     )
+    # residual-vs-cohort gate: err_pts is the |I - J∘warp| window mean under
+    # the GLOBAL motion; for the (majority) static scene it is sensor noise +
+    # interpolation error, while points on independently moving objects or
+    # occlusions sit far above that cohort.  The threshold adapts to scene
+    # noise via the median over currently-valid points.
+    n_pts = points.shape[0]
+    masked_err = jnp.where(status, err_pts, jnp.inf)
+    cnt = jnp.sum(status.astype(jnp.int32))
+    med = jnp.sort(masked_err)[jnp.clip(cnt // 2, 0, n_pts - 1)]
+    med = jnp.where(jnp.isfinite(med), med, 0.0)
+    status = status & (err_pts <= jnp.maximum(5.0 * med, 10.0))
     out_pts = jnp.where(status[:, None], new_pts, points)
     return LKResult(points=out_pts, status=status, error=err_pts)

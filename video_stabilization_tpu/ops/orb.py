@@ -65,19 +65,30 @@ N_ANGLE_BINS = 72
 
 
 def _steered_lin(pattern: np.ndarray) -> np.ndarray:
+    """Rotated+rounded pattern per bin, as linear indices into the flattened
+    patch.  Bins b = m + 18k are constructed as EXACT 90-degree-k rotations
+    of residual bin m, so the descriptor sampler can factor the steering
+    into rot90(patch, k) x an 18-bin pattern table with bit-identical
+    results (see _orient_and_describe)."""
     out = np.zeros((N_ANGLE_BINS, pattern.shape[0]), np.int32)
-    for b in range(N_ANGLE_BINS):
+    n_res = N_ANGLE_BINS // 4
+    for b in range(n_res):
         a = 2.0 * np.pi * b / N_ANGLE_BINS
         c, s = np.cos(a), np.sin(a)
         rx = np.clip(np.round(c * pattern[:, 0] - s * pattern[:, 1]),
                      -_EXTRACT_RADIUS, _EXTRACT_RADIUS).astype(np.int32)
         ry = np.clip(np.round(s * pattern[:, 0] + c * pattern[:, 1]),
                      -_EXTRACT_RADIUS, _EXTRACT_RADIUS).astype(np.int32)
-        out[b] = (ry + _EXTRACT_RADIUS) * _EXTRACT + (rx + _EXTRACT_RADIUS)
+        x, y = rx, ry
+        for k in range(4):
+            out[b + n_res * k] = (
+                (y + _EXTRACT_RADIUS) * _EXTRACT + (x + _EXTRACT_RADIUS)
+            )
+            x, y = -y, x                      # exact 90-degree rotation
     return out
 
 
-STEERED_LIN_1 = _steered_lin(BRIEF_PATTERN_1)   # (30, 256)
+STEERED_LIN_1 = _steered_lin(BRIEF_PATTERN_1)   # (N_ANGLE_BINS, 256)
 STEERED_LIN_2 = _steered_lin(BRIEF_PATTERN_2)
 
 
@@ -198,10 +209,11 @@ def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
     1. all (EXTRACT x EXTRACT) patches at once via two one-hot matmuls on
        the MXU (row-select @ image @ col-select) — ~12 GFLOP, microseconds;
     2. intensity-centroid moments as one einsum against the circular masks;
-    3. steering quantized to 30 orientation bins (the ORB paper's 2π/30
-       increments, §4.1): ONE matmul samples every bin's rotated pattern
-       (patch_flat @ E, E built in-trace from STEERED_LIN_*), then each
-       keypoint selects its bin's 256 columns with a masked sum.
+    3. steering quantized to N_ANGLE_BINS=72 orientation bins (finer than
+       the ORB paper's 2π/30 increments, §4.1 — see the header note): ONE
+       matmul samples every bin's rotated pattern (patch_flat @ E, E built
+       in-trace from STEERED_LIN_*), then each keypoint selects its bin's
+       256 columns with a masked sum.
     """
     n = pts.shape[0]
     h, w = img_raw.shape
@@ -211,15 +223,10 @@ def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
     ix = jnp.clip(jnp.round(pts[:, 0]).astype(jnp.int32) - rad, 0, w - _EXTRACT)
 
     # --- patch extraction: one-hot row/col selection on the MXU -------------
-    both = jnp.stack([img_raw, img_blur]).astype(jnp.bfloat16)   # (2, H, W)
-    yidx = iy[:, None] + jnp.arange(_EXTRACT)[None, :]           # (N, P)
-    rsel = (yidx[:, :, None] == jnp.arange(h)[None, None, :]).astype(jnp.bfloat16)
-    rows = jnp.einsum("nph,chw->ncpw", rsel, both,
-                      preferred_element_type=jnp.float32)        # (N, 2, P, W)
-    xidx = ix[:, None] + jnp.arange(_EXTRACT)[None, :]           # (N, P)
-    csel = (jnp.arange(w)[None, :, None] == xidx[:, None, :]).astype(jnp.bfloat16)
-    patches = jnp.einsum("ncpw,nwq->ncpq", rows.astype(jnp.bfloat16), csel,
-                         preferred_element_type=jnp.float32)     # (N, 2, P, P)
+    from video_stabilization_tpu.ops.patches import extract_patches_mxu
+
+    both = jnp.stack([img_raw, img_blur])                        # (2, H, W)
+    patches = extract_patches_mxu(both, iy, ix, _EXTRACT)        # (N, 2, P, P)
 
     # --- orientation: intensity centroid on the raw patch -------------------
     off = rad - PATCH_RADIUS
@@ -233,23 +240,40 @@ def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
         N_ANGLE_BINS,
     )
 
-    # --- steered BRIEF: one sampling matmul over all bins -------------------
-    flat = patches[:, 1].reshape(n, _EXTRACT * _EXTRACT).astype(jnp.bfloat16)
+    # --- steered BRIEF: factored rotation sampling ---------------------------
+    # R(θ_b) = R90^k · R(θ_m) with b = m + 18k: the 90-degree part is an
+    # EXACT integer permutation of the patch grid (rot90 commutes with the
+    # round+clip of the pattern offsets), so each keypoint samples one of 4
+    # patch rotations with only the 18 residual-bin patterns — the sampling
+    # matmul shrinks 4x with bit-identical descriptors vs the full 72-bin
+    # table (validated by tests/test_orb.py::test_factored_rotation_exact).
+    n_res = N_ANGLE_BINS // 4                        # 18 residual bins
+    m_bin = bins % n_res
+    k_rot = bins // n_res
+    p3 = patches[:, 1].reshape(n, _EXTRACT, _EXTRACT)
+    sel = p3
+    rot = p3
+    for k in range(1, 4):
+        rot = jnp.rot90(rot, 1, axes=(1, 2))
+        sel = jnp.where((k_rot == k)[:, None, None], rot, sel)
+    flat = sel.reshape(n, _EXTRACT * _EXTRACT).astype(jnp.bfloat16)
+
     lin = jnp.concatenate(
-        [jnp.asarray(STEERED_LIN_1), jnp.asarray(STEERED_LIN_2)], axis=1
-    ).reshape(-1)                                    # (30*512,)
-    # anchor E on the input so XLA does not constant-fold a 70 MB one-hot
-    # into the executable (built per call instead: ~36M fused compares)
+        [jnp.asarray(STEERED_LIN_1[:n_res]), jnp.asarray(STEERED_LIN_2[:n_res])],
+        axis=1,
+    ).reshape(-1)                                    # (n_res*512,)
+    # anchor E on the input so XLA does not constant-fold an 18 MB one-hot
+    # into the executable (built per call instead: ~9M fused compares)
     anchor = (both[0, 0, 0] * 0.0 + 1.0).astype(jnp.bfloat16)
     esel = (
         jnp.arange(_EXTRACT * _EXTRACT)[:, None] == lin[None, :]
-    ).astype(jnp.bfloat16) * anchor                  # (P², 30*512)
+    ).astype(jnp.bfloat16) * anchor                  # (P², n_res*512)
     sampled = jnp.matmul(flat, esel, preferred_element_type=jnp.float32)
-    sampled = sampled.reshape(n, N_ANGLE_BINS, 2, 256)
+    sampled = sampled.reshape(n, n_res, 2, 256)
 
     v = jnp.zeros((n, 2, 256), jnp.float32)
-    for b in range(N_ANGLE_BINS):
-        v = v + jnp.where((bins == b)[:, None, None], sampled[:, b], 0.0)
+    for b in range(n_res):
+        v = v + jnp.where((m_bin == b)[:, None, None], sampled[:, b], 0.0)
 
     bits = jnp.where(v[:, 0] < v[:, 1], jnp.int8(1), jnp.int8(-1))
     descs = jnp.where(mask[:, None], bits, jnp.int8(0))

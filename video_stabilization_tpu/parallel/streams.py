@@ -23,17 +23,49 @@ the reference's hidden mutable state per GPU and hand-manage streams).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Callable, Sequence
 
 import jax
 
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from video_stabilization_tpu.config import StabilizerConfig
+from video_stabilization_tpu.config import StabilizationMode, StabilizerConfig
 from video_stabilization_tpu.engine.state import EngineCarry, init_carry
 from video_stabilization_tpu.engine.stabilizer import stabilize_step
 
 STREAM_AXIS = "streams"
+
+# Modes whose output-warp correction is bounded by construction, so the
+# Pallas warp's ~9-degree rotation envelope (ops/pallas_warp.py COPIES)
+# always holds: smoothing corrects only residual shake around the window
+# average, and translation lock cancels rotation before warping.  The
+# accumulated / rotation / ORB / SIFT locks track an absolute pose offset
+# that can grow without bound (e.g. a stream rolling past ~9 deg), so they
+# must keep the projective fallback even batched.
+_BOUNDED_WARP_MODES = frozenset({
+    int(StabilizationMode.GLOBAL_SMOOTHING),
+    int(StabilizationMode.TRANSLATION_LOCK),
+})
+
+_warned_dynamic_vmap = False
+
+
+def _warn_if_dynamic_mode(config: StabilizerConfig, fn_name: str) -> None:
+    """Batching the dynamic-mode step runs EVERY lock branch per stream
+    (vmap turns lax.switch into an all-branches select, ~5x the step cost).
+    Warn once instead of raising: the result is correct, just slow."""
+    global _warned_dynamic_vmap
+    if config.static_mode is None and not _warned_dynamic_vmap:
+        _warned_dynamic_vmap = True
+        warnings.warn(
+            f"{fn_name}: config.static_mode is None — under vmap the "
+            "runtime mode switch evaluates every lock branch (accumulated + "
+            "ORB + SIFT) for every stream on every frame. Pin the mode at "
+            "trace time (dataclasses.replace(config, static_mode="
+            "int(StabilizationMode.X))) for batched throughput.",
+            stacklevel=3,
+        )
 
 
 def init_batched_carry(
@@ -47,13 +79,21 @@ def init_batched_carry(
 def _batched_config(config: StabilizerConfig) -> StabilizerConfig:
     """Under vmap a lax.cond becomes a both-branches select, so the warp's
     projective fallback would run the 1080p gather path for every stream on
-    every frame; disable it (stabilization corrections always fit the Pallas
-    warp's rotation envelope — ops/pallas_warp.py)."""
+    every frame.  Disable it only where the correction is bounded by
+    construction (``_BOUNDED_WARP_MODES``): an accumulated/rotation/ORB/SIFT
+    lock stream drifting past the Pallas envelope would otherwise silently
+    render zeros instead of falling back.  LK's internal warps remove the
+    current global-motion estimate before each residual search, so their
+    transforms are always small; those drop the fallback unconditionally."""
     import dataclasses
 
+    bounded = (
+        config.static_mode is not None
+        and int(config.static_mode) in _BOUNDED_WARP_MODES
+    )
     return dataclasses.replace(
         config,
-        warp_projective_fallback=False,
+        warp_projective_fallback=config.warp_projective_fallback and not bounded,
         lk=dataclasses.replace(config.lk, warp_fallback=False),
     )
 
@@ -62,6 +102,7 @@ def _batched_config(config: StabilizerConfig) -> StabilizerConfig:
 def make_batched_step_fn(config: StabilizerConfig) -> Callable:
     """(carry_batch, frames (S,Hf,Wf,C)) -> (carry_batch, (outputs, valid)) —
     jitted vmap over streams for single-chip throughput."""
+    _warn_if_dynamic_mode(config, "make_batched_step_fn")
     step = functools.partial(stabilize_step, config=_batched_config(config))
     # carry donated: in-place frame-ring updates (see engine.make_step_fn)
     return jax.jit(jax.vmap(step), donate_argnums=0)
@@ -73,6 +114,7 @@ def make_batched_scan_fn(config: StabilizerConfig) -> Callable:
     valid)) — ``lax.scan`` over frames of the vmapped per-stream step.  One
     dispatch stabilizes a whole clip for every stream on the chip (the
     single-chip throughput path; see ``engine.make_scan_fn``)."""
+    _warn_if_dynamic_mode(config, "make_batched_scan_fn")
     step = functools.partial(stabilize_step, config=_batched_config(config))
     vstep = jax.vmap(step)
 
@@ -97,6 +139,7 @@ def make_sharded_step_fn(config: StabilizerConfig, mesh: Mesh) -> Callable:
     stream axis; outputs come back with the same sharding so the carry never
     leaves the devices between frames.
     """
+    _warn_if_dynamic_mode(config, "make_sharded_step_fn")
     step = functools.partial(stabilize_step, config=_batched_config(config))
     vstep = jax.vmap(step)
 
