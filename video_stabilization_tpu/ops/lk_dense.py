@@ -227,6 +227,33 @@ def _grid_fit(
     return jnp.where(ok2, h2, h1)
 
 
+def _extract_bilinear_mxu(img: jax.Array, top_left: jax.Array, size: int) -> jax.Array:
+    """Batched bilinear (size, size) patches at float top-left corners via
+    one-hot MXU extraction (ops/patches.py) + in-patch lerp.
+
+    The lk.py ``_extract_patches`` row-gather version moves N·(size+1) full
+    image rows through a gather (~76 MB for 1280 corners at 360p) and was
+    the dominant LK cost (2.1 ms profiled); two selection matmuls do the
+    same job in ~0.1 ms.  ``img`` must be pre-padded so reads are in bounds.
+    """
+    from video_stabilization_tpu.ops.patches import extract_patches_mxu
+
+    h, w = img.shape
+    i0 = jnp.floor(top_left)
+    frac = top_left - i0                        # (N, 2) as (x, y)
+    y0 = jnp.clip(i0[:, 1].astype(jnp.int32), 0, h - (size + 1))
+    x0 = jnp.clip(i0[:, 0].astype(jnp.int32), 0, w - (size + 1))
+    big = extract_patches_mxu(img[None], y0, x0, size + 1)[:, 0]
+    fx = frac[:, 0][:, None, None]
+    fy = frac[:, 1][:, None, None]
+    return (
+        (1 - fx) * (1 - fy) * big[:, :-1, :-1]
+        + fx * (1 - fy) * big[:, :-1, 1:]
+        + (1 - fx) * fy * big[:, 1:, :-1]
+        + fx * fy * big[:, 1:, 1:]
+    )
+
+
 def _sample_maps(maps: jax.Array, pts: jax.Array) -> jax.Array:
     """Bilinear sample of (K, H, W) maps at (N, 2) points -> (K, N).
     The dense design's single gather."""
@@ -273,62 +300,64 @@ def lk_track_dense(
 
     # ---- coarse-to-fine dense search with global-similarity chaining -------
     for level in range(n_levels, 0, -1):
-        img_i = pyr_prev[level]
-        img_j = pyr_next[level]
-        scale = float(2 ** level)
-        rng = 8 if level == n_levels else 3
-        # a search range beyond ~1/4 of the level is meaningless and the
-        # (2r+1)² shift maps dominate compile size at tiny test shapes
-        rng = max(2, min(rng, min(img_i.shape) // 4))
+        with jax.named_scope(f"stage_lk_l{level}"):
+            img_i = pyr_prev[level]
+            img_j = pyr_next[level]
+            scale = float(2 ** level)
+            rng = 8 if level == n_levels else 3
+            # a search range beyond ~1/4 of the level is meaningless and the
+            # (2r+1)² shift maps dominate compile size at tiny test shapes
+            rng = max(2, min(rng, min(img_i.shape) // 4))
 
-        if level == n_levels:
-            j_w = img_j                      # T = identity: warp-free
-        else:
-            hl = _scale_h(t_cur, scale)
-            j_w = warp_affine(
-                img_j, _inv3x3(hl), border_value=0.0,
-                projective_fallback=config.warp_fallback,
+            if level == n_levels:
+                j_w = img_j                  # T = identity: warp-free
+            else:
+                hl = _scale_h(t_cur, scale)
+                j_w = warp_affine(
+                    img_j, _inv3x3(hl), border_value=0.0,
+                    projective_fallback=config.warp_fallback,
+                )
+            flow, interior = _dense_residual_flow(img_i, j_w, rng, win)
+            ix, iy = scharr_xy(img_i)
+            me = _min_eig_dense(ix, iy, win)
+            t_cur = _grid_fit(
+                t_cur, flow, interior, me, scale,
+                config.min_eig_threshold, resid_px=max(1.5, rng / 2.0),
+                vote_range=rng + 1,
             )
-        flow, interior = _dense_residual_flow(img_i, j_w, rng, win)
-        ix, iy = scharr_xy(img_i)
-        me = _min_eig_dense(ix, iy, win)
-        t_cur = _grid_fit(
-            t_cur, flow, interior, me, scale,
-            config.min_eig_threshold, resid_px=max(1.5, rng / 2.0),
-            vote_range=rng + 1,
-        )
 
     # ---- level-0: two dense Newton rounds with refit between ---------------
-    img_i = pyr_prev[0]
-    img_j = pyr_next[0]
-    ix, iy = scharr_xy(img_i)
-    gxx = _box_same(ix * ix, win)
-    gxy = _box_same(ix * iy, win)
-    gyy = _box_same(iy * iy, win)
-    det = gxx * gyy - gxy * gxy
-    min_eig = _min_eig_dense(ix, iy, win)
-    good = (min_eig > config.min_eig_threshold) & (det > 1e-12)
-    det_safe = jnp.where(good, det, 1.0)
+    with jax.named_scope("stage_lk_newton"):
+        img_i = pyr_prev[0]
+        img_j = pyr_next[0]
+        ix, iy = scharr_xy(img_i)
+        gxx = _box_same(ix * ix, win)
+        gxy = _box_same(ix * iy, win)
+        gyy = _box_same(iy * iy, win)
+        det = gxx * gyy - gxy * gxy
+        min_eig = _min_eig_dense(ix, iy, win)
+        good = (min_eig > config.min_eig_threshold) & (det > 1e-12)
+        det_safe = jnp.where(good, det, 1.0)
 
-    delta = err = None
-    for rnd in range(2):
-        j_w = warp_affine(
-            img_j, _inv3x3(t_cur), border_value=0.0,
-            projective_fallback=config.warp_fallback,
-        )
-        r = j_w - img_i
-        bx = _box_same(r * ix, win)
-        by = _box_same(r * iy, win)
-        dx = -(gyy * bx - gxy * by) / det_safe
-        dy = -(gxx * by - gxy * bx) / det_safe
-        delta = jnp.where(good[..., None], jnp.stack([dx, dy], axis=-1), 0.0)
-        err = _box_same(jnp.abs(r), win) / float(win * win)
-        if rnd == 0:
-            ones = jnp.ones_like(min_eig, bool)
-            t_cur = _grid_fit(
-                t_cur, delta, ones, min_eig, 1.0,
-                config.min_eig_threshold, resid_px=2.0, vote_range=3,
+        delta = err = None
+        for rnd in range(2):
+            j_w = warp_affine(
+                img_j, _inv3x3(t_cur), border_value=0.0,
+                projective_fallback=config.warp_fallback,
             )
+            r = j_w - img_i
+            bx = _box_same(r * ix, win)
+            by = _box_same(r * iy, win)
+            dx = -(gyy * bx - gxy * by) / det_safe
+            dy = -(gxx * by - gxy * bx) / det_safe
+            delta = jnp.where(good[..., None], jnp.stack([dx, dy], axis=-1), 0.0)
+            err = _box_same(jnp.abs(r), win) / float(win * win)
+            if rnd == 0:
+                ones = jnp.ones_like(min_eig, bool)
+                t_cur = _grid_fit(
+                    t_cur, delta, ones, min_eig, 1.0,
+                    config.min_eig_threshold, resid_px=2.0, vote_range=3,
+                )
 
     # ---- single sample at the query corners ---------------------------------
     samp = _sample_maps(
@@ -343,20 +372,20 @@ def lk_track_dense(
     # ---- optional per-point subpixel polish ---------------------------------
     # The dense maps are box-filtered at integer centers and sampled
     # bilinearly; a couple of classic per-point Newton iterations at the
-    # exact corner positions recover the last ~0.2 px (the only per-point
-    # patch gathers in the dense path).
+    # exact corner positions recover the last ~0.2 px.  Patches come from
+    # one-hot MXU extraction (_extract_bilinear_mxu) — no per-point gathers.
     if config.corner_polish_iters > 0:
-        from video_stabilization_tpu.ops.lk import (
-            _extract_patches, _scharr_patches,
-        )
+        from video_stabilization_tpu.ops.lk import _scharr_patches
 
+        polish_scope = jax.named_scope("stage_lk_polish")
+        polish_scope.__enter__()
         pad = win + 4
         img_i_p = jnp.pad(img_i, pad, mode="reflect")
         img_j_p = jnp.pad(img_j, pad, mode="reflect")
         half = (win - 1) / 2.0
 
-        ipatch_big = _extract_patches(img_i_p, points - (half + 1.0) + pad,
-                                      win + 2)
+        ipatch_big = _extract_bilinear_mxu(
+            img_i_p, points - (half + 1.0) + pad, win + 2)
         pix, piy = _scharr_patches(ipatch_big)
         ipatch = ipatch_big[:, 1:-1, 1:-1]
         pgxx = jnp.sum(pix * pix, axis=(1, 2))
@@ -369,7 +398,7 @@ def lk_track_dense(
         v = new_pts
         saturated = jnp.zeros((points.shape[0],), bool)
         for _ in range(config.corner_polish_iters):
-            jpatch = _extract_patches(img_j_p, v - half + pad, win)
+            jpatch = _extract_bilinear_mxu(img_j_p, v - half + pad, win)
             r = jpatch - ipatch
             bx = jnp.sum(r * pix, axis=(1, 2))
             by = jnp.sum(r * piy, axis=(1, 2))
@@ -388,6 +417,7 @@ def lk_track_dense(
             step = jnp.clip(step, -1.5, 1.5)
             v = v + jnp.where(p_ok[:, None], step, 0.0)
         new_pts = v
+        polish_scope.__exit__(None, None, None)
     else:
         saturated = jnp.zeros((points.shape[0],), bool)
     in_final = (

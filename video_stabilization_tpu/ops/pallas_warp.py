@@ -50,6 +50,10 @@ from video_stabilization_tpu.ops.warp import _inv3x3, warp_perspective
 # resample axis guarantee clamp-free windows for every tile that contains any
 # in-source position.
 COPIES = 26
+# Small-envelope variant (~1.6 deg): stabilization corrections are usually a
+# fraction of a degree, so the single-stream path dispatches this ~3x-cheaper
+# kernel via lax.cond whenever the transform fits (see warp_affine).
+SMALL_COPIES = 8
 PADV = COPIES + 4
 _WIN = COPIES + 10  # window rows: d in [0, COPIES+1], slice d+1 : d+9
 
@@ -59,7 +63,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _resample_kernel(params_ref, in_ref, out_ref, scratch, *, n_tiles: int,
-                     r_in: int):
+                     r_in: int, copies: int = COPIES):
     """out[l, r] = in[alpha*r + beta*l + gamma_strip, l]  (bilinear over rows),
     written transposed.  in_ref: (1, R_in, 128); out_ref: (1, 128, 128*n_tiles).
 
@@ -85,17 +89,27 @@ def _resample_kernel(params_ref, in_ref, out_ref, scratch, *, n_tiles: int,
             m = (p00 - 1.0
                  + jnp.minimum((alpha - 1.0) * 7.0, 0.0)
                  + jnp.minimum(beta * 127.0, 0.0))
-            base = jnp.clip(jnp.floor(m).astype(jnp.int32), 0, r_in - _WIN)
+            base = jnp.clip(jnp.floor(m).astype(jnp.int32), 0,
+                            r_in - (copies + 10))
 
             p = alpha * (r0f + rows8.astype(jnp.float32)) + beta * lanef + gamma
             i0 = jnp.floor(p)
             w = p - i0
             drel = i0.astype(jnp.int32) - base - rows8
 
-            window = in_ref[0, pl.ds(base, _WIN), :]
+            # NOTE (round 3): keep this loop STATIC and fully unrolled with
+            # register accumulators.  Two attempts to pay only the actual
+            # copy span both measured SLOWER on hardware: a @pl.when-
+            # predicated static loop with scratch accumulation (6x slower —
+            # the per-slice VMEM read-modify-write serializes the tile) and
+            # a dynamic-bound fori_loop over [dmin, dmax] with per-iteration
+            # dynamic sublane reads (10x slower — Mosaic cannot software-
+            # pipeline the dynamic reads).  The unrolled masked adds
+            # vectorize and pipeline; COPIES is the envelope price.
+            window = in_ref[0, pl.ds(base, copies + 10), :]
             acc0 = jnp.zeros((8, 128), jnp.float32)
             acc1 = jnp.zeros((8, 128), jnp.float32)
-            for d in range(COPIES + 2):
+            for d in range(copies + 2):
                 sel = drel == d
                 acc0 = acc0 + jnp.where(sel, window[d : d + 8, :], 0.0)
                 acc1 = acc1 + jnp.where(sel, window[d + 1 : d + 9, :], 0.0)
@@ -108,9 +122,9 @@ def _resample_kernel(params_ref, in_ref, out_ref, scratch, *, n_tiles: int,
 
 
 def _resample_transpose(x: jax.Array, params: jax.Array, n_out: int,
-                        interpret: bool) -> jax.Array:
-    """x: (C, R_in, L) with L a 128-multiple, rows pre-padded by PADV.
-    params: (3,) f32 [alpha, beta, gamma] with gamma already shifted by +PADV.
+                        interpret: bool, copies: int = COPIES) -> jax.Array:
+    """x: (C, R_in, L) with L a 128-multiple, rows pre-padded by copies+4.
+    params: (3,) f32 [alpha, beta, gamma] with gamma already pad-shifted.
     Returns (C, L, n_out128): out[c, l, r] = x[c, a*r + b*l + g, l].
     """
     c, r_in, l_total = x.shape
@@ -128,7 +142,8 @@ def _resample_transpose(x: jax.Array, params: jax.Array, n_out: int,
     prow = prow.at[:, 0, 1].set(params[1])
     prow = prow.at[:, 0, 2].set(gam)
 
-    kernel = functools.partial(_resample_kernel, n_tiles=n_tiles, r_in=r_in)
+    kernel = functools.partial(_resample_kernel, n_tiles=n_tiles, r_in=r_in,
+                               copies=copies)
     return pl.pallas_call(
         kernel,
         grid=(c, n_strips),
@@ -146,15 +161,16 @@ def _resample_transpose(x: jax.Array, params: jax.Array, n_out: int,
     )(prow, x)
 
 
-def _affine_span_ok(alpha, beta) -> jax.Array:
-    return jnp.abs(alpha - 1.0) * 8.0 + jnp.abs(beta) * 128.0 + 3.0 <= COPIES
+def _affine_span_ok(alpha, beta, copies: int = COPIES) -> jax.Array:
+    return jnp.abs(alpha - 1.0) * 8.0 + jnp.abs(beta) * 128.0 + 3.0 <= copies
 
 
 def _warp_planes_pallas(planes: jax.Array, hinv: jax.Array,
-                        interpret: bool) -> jax.Array:
+                        interpret: bool, copies: int = COPIES) -> jax.Array:
     """(C, H, W) f32 planes warped by the inverse map ``hinv`` (affine rows).
     No border handling here — callers mask with the true inverse map."""
     c, h, w = planes.shape
+    padv = copies + 4
     a, b, tx = hinv[0, 0], hinv[0, 1], hinv[0, 2]
     cc, d, ty = hinv[1, 0], hinv[1, 1], hinv[1, 2]
     a_safe = jnp.where(jnp.abs(a) > 1e-3, a, 1e-3)
@@ -167,14 +183,14 @@ def _warp_planes_pallas(planes: jax.Array, hinv: jax.Array,
     h128 = _ceil_to(h, 128)
 
     # pass V: rows = y (source), lanes = x
-    xpad = jnp.pad(planes, ((0, 0), (PADV, PADV), (0, w128 - w)))
-    p1 = jnp.stack([alpha1, beta1, gamma1 + PADV]).astype(jnp.float32)
-    i1t = _resample_transpose(xpad, p1, h, interpret)        # (C, W128, H128)
+    xpad = jnp.pad(planes, ((0, 0), (padv, padv), (0, w128 - w)))
+    p1 = jnp.stack([alpha1, beta1, gamma1 + padv]).astype(jnp.float32)
+    i1t = _resample_transpose(xpad, p1, h, interpret, copies)  # (C, W128, H128)
 
     # pass H: rows = u (source x), lanes = y
-    i1t = jnp.pad(i1t, ((0, 0), (PADV, PADV), (0, 0)))
-    p2 = jnp.stack([a, b, tx + PADV]).astype(jnp.float32)
-    out = _resample_transpose(i1t, p2, w, interpret)          # (C, H128, W128)
+    i1t = jnp.pad(i1t, ((0, 0), (padv, padv), (0, 0)))
+    p2 = jnp.stack([a, b, tx + padv]).astype(jnp.float32)
+    out = _resample_transpose(i1t, p2, w, interpret, copies)   # (C, H128, W128)
     return out[:, :h, :w]
 
 
@@ -209,6 +225,9 @@ def warp_affine(
     hinv = _inv3x3(h.astype(jnp.float32))
     interpret = jax.default_backend() != "tpu"
 
+    def small_branch(pl_in):
+        return _warp_planes_pallas(pl_in, hinv, interpret, SMALL_COPIES)
+
     def pallas_branch(pl_in):
         return _warp_planes_pallas(pl_in, hinv, interpret)
 
@@ -217,17 +236,35 @@ def warp_affine(
         out = warp_perspective(img, h, None, 0.0)
         return jnp.transpose(out, (2, 0, 1))
 
+    a, b = hinv[0, 0], hinv[0, 1]
+    cc, d = hinv[1, 0], hinv[1, 1]
+    a_safe = jnp.where(jnp.abs(a) > 1e-3, a, 1e-3)
+    alpha1 = d - cc * b / a_safe
+    beta1 = cc / a_safe
+
     if projective_fallback:
-        a, b = hinv[0, 0], hinv[0, 1]
-        cc, d = hinv[1, 0], hinv[1, 1]
-        a_safe = jnp.where(jnp.abs(a) > 1e-3, a, 1e-3)
-        ok = (
-            _affine_span_ok(d - cc * b / a_safe, cc / a_safe)
+        # single-stream path: pick the cheapest kernel that fits the
+        # transform — the small-envelope variant covers typical stabilization
+        # corrections (fractions of a degree) at ~1/3 the copy work; the
+        # full-envelope kernel covers up to ~9 deg; anything larger takes
+        # the projective gather.  lax.switch executes ONE branch here.
+        ok_small = (
+            _affine_span_ok(alpha1, beta1, SMALL_COPIES)
+            & _affine_span_ok(a, b, SMALL_COPIES)
+            & (jnp.abs(a) > 1e-3)
+        )
+        ok_big = (
+            _affine_span_ok(alpha1, beta1)
             & _affine_span_ok(a, b)
             & (jnp.abs(a) > 1e-3)
         )
-        warped = jax.lax.cond(ok, pallas_branch, fallback_branch, planes)
+        idx = jnp.where(ok_small, 0, jnp.where(ok_big, 1, 2))
+        warped = jax.lax.switch(
+            idx, [small_branch, pallas_branch, fallback_branch], planes
+        )
     else:
+        # batched path: one static kernel (vmap would evaluate every branch
+        # of a switch for every stream)
         warped = pallas_branch(planes)
 
     # constant border from the true inverse map (fused elementwise)
