@@ -160,7 +160,7 @@ class TestFactoredRotation:
         mask = np.ones(len(pts), bool)
         ang, desc = _orient_and_describe(
             jnp.asarray(img), jnp.asarray(blur), jnp.asarray(pts),
-            jnp.asarray(mask),
+            jnp.asarray(mask), pattern="brief",
         )
         desc = np.asarray(desc)
 

@@ -176,7 +176,41 @@ def run(cfg: AppConfig) -> int:
     trail_bg = None
     trail_fn = None
     stats_last = time.perf_counter()
+    taxonomy_line = None
+    taxonomy_at = 0.0
     t_prev = time.perf_counter()
+
+    def _refresh_taxonomy(frame):
+        """In-loop per-stage device times of the fused step (printTimings
+        parity, reference src/stabilizer.cpp:982-1009): trace a few live
+        steps on a COPY of the carry (so the profile doesn't advance engine
+        state) and aggregate device time by the stage_* named scopes."""
+        import jax
+        import jax.numpy as jnp
+
+        from video_stabilization_tpu.utils.stage_profile import (
+            format_taxonomy, profile_stages,
+        )
+
+        try:
+            fj = jnp.asarray(frame)
+            hlo = stab._step.lower(stab.carry, fj).compile().as_text()
+            carry_copy = jax.tree.map(jnp.copy, stab.carry)
+            n_prof = 4
+
+            def run_steps():
+                c = carry_copy
+                out = None
+                for _ in range(n_prof):
+                    c, (out, _v) = stab._step(c, fj)
+                jax.block_until_ready(out)
+
+            stage_ms = profile_stages(run_steps, hlo, n_calls=n_prof)
+            if not stage_ms:
+                return None
+            return "[stats] in-loop stages: " + format_taxonomy(stage_ms)
+        except Exception as e:  # profiling is best-effort (relay/CPU quirks)
+            return f"[stats] in-loop stage profile unavailable: {e}"
     try:
         while True:
             if cfg.max_frames is not None and n >= cfg.max_frames:
@@ -233,6 +267,13 @@ def run(cfg: AppConfig) -> int:
                     line += (" | lock matches "
                              f"{int(stab.carry.last_lock_matches):4d}")
                 print(line + f" | mode {cur_mode.name}")
+                # per-stage breakdown of the fused step, re-sampled every
+                # 10 s (tracing a few steps costs ~1 frame of work)
+                if time.perf_counter() - taxonomy_at > 10.0:
+                    taxonomy_line = _refresh_taxonomy(frame)
+                    taxonomy_at = time.perf_counter()
+                if taxonomy_line:
+                    print(taxonomy_line)
 
             if len(original_buffer) <= future:
                 print(f"Buffering frames: {len(original_buffer)}/{future + 1}")

@@ -119,6 +119,12 @@ class ORBConfig:
     fast_threshold: int = 20
     lowe_ratio: float = 0.6
     max_keypoint_size_ratio: float = 0.10
+    # BRIEF test-pair table: "cv2" = OpenCV's learned 256-pair pattern
+    # (bit_pattern_31_, recovered bit-exactly by
+    # benchmarks/extract_orb_pattern.py into ops/orb_pattern.py — the
+    # reference inherits it via cv::ORB, src/stabilizer.cpp:483-493);
+    # "brief" = the original seeded-Gaussian BRIEF construction.
+    pattern: str = "cv2"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +140,16 @@ class SIFTConfig:
     # SIFT match filter keeps distance <= max(0.5*avg, 0.02) (:698-702)
     match_avg_ratio: float = 0.5
     match_min_distance: float = 0.02
+    # cv2-parity options (both default off — the engine's SIFT lock is
+    # self-consistent; enable for statistical descriptor parity with
+    # cv::SIFT as used by the reference, src/stabilizer.cpp:496-507):
+    # upsample_2x: cv2's initial 2x image upsampling (a -1 octave of
+    # fine-scale keypoints; doubles scale-space cost).
+    upsample_2x: bool = False
+    # multi_orientation: emit a second keypoint at orientation-histogram
+    # peaks >= peak_ratio * max (cv2's SIFT_ORI_PEAK_RATIO = 0.8).
+    multi_orientation: bool = False
+    ori_peak_ratio: float = 0.8
 
 
 @dataclasses.dataclass(frozen=True)

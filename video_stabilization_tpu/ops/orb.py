@@ -11,13 +11,13 @@ Design:
   area, like cv::ORB's nfeatures-per-level split.
 - FAST + 3x3 NMS + top-k per level are batched map operations (ops/fast.py).
 - Orientation is the intensity-centroid angle over the circular 31-patch.
-- Descriptors are **steered BRIEF**: 256 deterministic Gaussian test pairs
-  (BRIEF's original construction — NOT OpenCV's learned bit pattern; the
-  pattern only needs to be internally consistent since both lock frames are
-  described by this same code), rotated by the keypoint angle, sampled with
-  nearest-neighbor lookups from a 7x7-Gauss-blurred level image.  Bits are
-  stored as +-1 int8 so Hamming distance becomes one bf16 matmul on the MXU
-  (ops/match.py).
+- Descriptors are **steered BRIEF** over OpenCV's learned 256-pair test
+  pattern by default (bit_pattern_31_, recovered bit-exactly from the cv2
+  binary into ops/orb_pattern.py; ``ORBConfig.pattern="brief"`` selects the
+  original seeded-Gaussian construction instead), rotated by the keypoint
+  angle, sampled with nearest-neighbor lookups from a 7x7-Gauss-blurred
+  level image.  Bits are stored as +-1 int8 so Hamming distance becomes one
+  bf16 matmul on the MXU (ops/match.py).
 - Output is a fixed-capacity feature set with a validity mask; keypoint
   coordinates/sizes are mapped back to level-0 pixels (size = 31·1.2^level,
   used by the relative-size filter, src/stabilizer.cpp:290-309).
@@ -90,6 +90,30 @@ def _steered_lin(pattern: np.ndarray) -> np.ndarray:
 
 STEERED_LIN_1 = _steered_lin(BRIEF_PATTERN_1)   # (N_ANGLE_BINS, 256)
 STEERED_LIN_2 = _steered_lin(BRIEF_PATTERN_2)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _pattern_tables(name: str):
+    """Resolve a BRIEF test-pair table to its steered linear-index tables.
+
+    "cv2": OpenCV's learned 256-pair pattern (orb.cpp bit_pattern_31_),
+    recovered bit-exactly from the installed cv2 binary by
+    benchmarks/extract_orb_pattern.py (the reference uses it via cv::ORB,
+    src/stabilizer.cpp:483-493).  "brief": the seeded-Gaussian construction
+    above (kept for determinism without the extracted table).
+    """
+    if name == "cv2":
+        from video_stabilization_tpu.ops.orb_pattern import (
+            CV2_ORB_P0, CV2_ORB_P1,
+        )
+
+        return _steered_lin(CV2_ORB_P0), _steered_lin(CV2_ORB_P1)
+    if name == "brief":
+        return STEERED_LIN_1, STEERED_LIN_2
+    raise ValueError(f"unknown ORB pattern {name!r} (use 'cv2' or 'brief')")
 
 
 def _fix_capacity(feats: "ORBFeatures", cap: int) -> "ORBFeatures":
@@ -199,7 +223,8 @@ def _detect_level(img: jax.Array, n_keep: int, fast_threshold: float,
 
 
 def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
-                         pts: jax.Array, mask: jax.Array):
+                         pts: jax.Array, mask: jax.Array,
+                         pattern: str = "cv2"):
     """Intensity-centroid angles + steered BRIEF for keypoints on one level.
 
     TPU-first batched formulation — the naive per-point version
@@ -258,8 +283,9 @@ def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
         sel = jnp.where((k_rot == k)[:, None, None], rot, sel)
     flat = sel.reshape(n, _EXTRACT * _EXTRACT).astype(jnp.bfloat16)
 
+    lin1, lin2 = _pattern_tables(pattern)
     lin = jnp.concatenate(
-        [jnp.asarray(STEERED_LIN_1[:n_res]), jnp.asarray(STEERED_LIN_2[:n_res])],
+        [jnp.asarray(lin1[:n_res]), jnp.asarray(lin2[:n_res])],
         axis=1,
     ).reshape(-1)                                    # (n_res*512,)
     # anchor E on the input so XLA does not constant-fold an 18 MB one-hot
@@ -300,7 +326,8 @@ def orb_detect_and_compute(
             level_img, budgets[level], config.fast_threshold, config.edge_threshold
         )
         blur = _gauss7(level_img)
-        ang, desc = _orient_and_describe(level_img, blur, pts, mask)
+        ang, desc = _orient_and_describe(level_img, blur, pts, mask,
+                                         config.pattern)
 
         all_pts.append(pts * scale)
         all_ang.append(ang)

@@ -63,9 +63,28 @@ def sep_filter5(img: jax.Array, kernel: jax.Array = _K5) -> jax.Array:
 
 
 def pyr_down(img: jax.Array) -> jax.Array:
-    """One pyramid level down: 5x5 Gaussian blur + decimate by 2 (cv2.pyrDown)."""
-    blurred = sep_filter5(img.astype(jnp.float32))
-    return blurred[..., ::2, ::2]
+    """One pyramid level down: 5x5 Gaussian blur + decimate by 2 (cv2.pyrDown).
+
+    The decimation is folded into each separable pass as single-axis
+    stride-2 slices (evaluate the blur at even rows/cols only).  A
+    ``blurred[..., ::2, ::2]`` epilogue compiles to an HLO gather with
+    runtime index computation on TPU — 0.89 ms vs 0.27 ms for this
+    formulation per 3-level 360p build (measured in-scan, round 3); it also
+    skips computing the odd rows/columns entirely.
+    """
+    img = img.astype(jnp.float32)
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    x = _reflect101_pad(img, 2, axis=-2)
+    rows = sum(
+        _K5[k] * jax.lax.slice_in_dim(x, k, k + 2 * (oh - 1) + 1, stride=2, axis=-2)
+        for k in range(5)
+    )
+    x = _reflect101_pad(rows, 2, axis=-1)
+    return sum(
+        _K5[k] * jax.lax.slice_in_dim(x, k, k + 2 * (ow - 1) + 1, stride=2, axis=-1)
+        for k in range(5)
+    )
 
 
 def build_pyramid(img: jax.Array, levels: int) -> Tuple[jax.Array, ...]:

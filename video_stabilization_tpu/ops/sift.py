@@ -4,14 +4,16 @@ TPU-native equivalent of cv::SIFT with the reference's hyperparameters
 (src/stabilizer.cpp:496-507): 2500-feature budget, 3 octave layers, contrast
 threshold 0.04, edge threshold 5, sigma 1.2.
 
-Deliberate deviations from OpenCV (behavioral parity, validated by
-registration tests, not bitwise parity — SURVEY.md §7 "validate against
-OpenCV descriptors statistically"):
-- no initial 2x upsampling of the input (fewer fine-scale keypoints);
+Deviations from OpenCV by default (behavioral parity, validated by
+registration tests + a statistical descriptor-parity test — SURVEY.md §7
+"validate against OpenCV descriptors statistically"):
+- no initial 2x upsampling of the input (fewer fine-scale keypoints) —
+  cv2's upsampled -1 octave is available via ``SIFTConfig.upsample_2x``;
 - subpixel refinement is a 2-D quadratic fit in (x, y) at the detected
   layer (OpenCV interpolates in scale too);
-- one orientation per keypoint (OpenCV may emit several at strong
-  secondary peaks).
+- one orientation per keypoint by default — cv2's duplicate keypoints at
+  secondary orientation peaks (>= 0.8 * max) are available via
+  ``SIFTConfig.multi_orientation``.
 
 Structure:
 - **Scale space**: per octave, nOctaveLayers+3 Gaussian images via separable
@@ -152,7 +154,9 @@ _DESC_PATCH = 32          # axis-aligned gradient patch side for descriptors
 
 
 def _orient_and_describe(gx: jax.Array, gy: jax.Array, pts: jax.Array,
-                         mask: jax.Array, sigma_kp: float):
+                         mask: jax.Array, sigma_kp: float,
+                         multi_orientation: bool = False,
+                         ori_peak_ratio: float = 0.8):
     """Orientation + 128-d descriptor for keypoints on one scale layer.
 
     Gradient patches for ALL keypoints are extracted in one pair of one-hot
@@ -161,6 +165,12 @@ def _orient_and_describe(gx: jax.Array, gy: jax.Array, pts: jax.Array,
     was the dominant SIFT cost (~14 ms; VERDICT r2 next-round #1c).  The
     orientation histogram and the 4x4x8 descriptor bins are masked-weight
     reductions — no scatters anywhere.
+
+    With ``multi_orientation`` (cv2 parity: cv::SIFT emits an extra keypoint
+    per orientation-histogram local peak >= 0.8 * max —
+    calcOrientationHist/SIFT_ORI_PEAK_RATIO), also returns the strongest
+    secondary peak's angle + descriptor + a has-second mask; returns
+    (angles, descs, angles2, descs2, has2) instead of (angles, descs).
     """
     from video_stabilization_tpu.ops.patches import extract_patches_mxu
 
@@ -214,63 +224,97 @@ def _orient_and_describe(gx: jax.Array, gy: jax.Array, pts: jax.Array,
         # circular [1,1,1]/3 smoothing x2
         for _ in range(2):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+
+        def peak_theta(peak):
+            # parabola on the circular neighborhood
+            hl = hist[(peak - 1) % _N_ORI_BINS]
+            hc = hist[peak]
+            hr = hist[(peak + 1) % _N_ORI_BINS]
+            denom = hl - 2 * hc + hr
+            off = jnp.where(jnp.abs(denom) > 1e-10, 0.5 * (hl - hr) / denom, 0.0)
+            return (peak.astype(jnp.float32) + off) * (2 * jnp.pi / _N_ORI_BINS)
+
         peak = jnp.argmax(hist)
-        # parabola on the circular neighborhood
-        hl = hist[(peak - 1) % _N_ORI_BINS]
-        hc = hist[peak]
-        hr = hist[(peak + 1) % _N_ORI_BINS]
-        denom = hl - 2 * hc + hr
-        off = jnp.where(jnp.abs(denom) > 1e-10, 0.5 * (hl - hr) / denom, 0.0)
-        theta = (peak.astype(jnp.float32) + off) * (2 * jnp.pi / _N_ORI_BINS)
+        theta = peak_theta(peak)
 
-        # --- descriptor: rotate coords/orientations into the kp frame ------
-        c, s = jnp.cos(-theta), jnp.sin(-theta)
-        u = (c * offx - s * offy) / bin_w          # descriptor-frame coords
-        v = (s * offx + c * offy) / bin_w
-        rel_ang = jnp.mod(ang - theta, 2 * jnp.pi)
+        def describe(theta):
+            return _describe_at(theta, mag, ang, bin_w, offx, offy)
 
-        ub = u + 2.0 - 0.5                         # spatial bin coordinates
-        vb = v + 2.0 - 0.5
-        ob = rel_ang / (2 * jnp.pi) * 8.0
+        if not multi_orientation:
+            return theta, describe(theta)
 
-        w_desc = jnp.exp(-(u * u + v * v) / (2 * 2.0 ** 2)) * mag
+        # strongest secondary local peak (circular), cv2's 0.8 ratio
+        is_local = (hist >= jnp.roll(hist, 1)) & (hist >= jnp.roll(hist, -1))
+        sec = jnp.where(
+            is_local & (jnp.arange(_N_ORI_BINS) != peak), hist, -jnp.inf
+        )
+        peak2 = jnp.argmax(sec)
+        has2 = sec[peak2] >= ori_peak_ratio * hist[peak]
+        theta2 = peak_theta(peak2)
+        return theta, describe(theta), theta2, describe(theta2), has2
 
-        u0 = jnp.floor(ub)
-        v0 = jnp.floor(vb)
-        o0 = jnp.floor(ob)
-        fu = ub - u0
-        fv = vb - v0
-        fo = ob - o0
-
-        desc = jnp.zeros((4, 4, 8))
-        for du in (0, 1):
-            wu = jnp.where(du == 0, 1 - fu, fu)
-            ui = u0 + du
-            u_ok = (ui >= 0) & (ui <= 3)
-            uoh = jax.nn.one_hot(jnp.clip(ui, 0, 3).astype(jnp.int32), 4)
-            for dv in (0, 1):
-                wv = jnp.where(dv == 0, 1 - fv, fv)
-                vi = v0 + dv
-                v_ok = (vi >= 0) & (vi <= 3)
-                voh = jax.nn.one_hot(jnp.clip(vi, 0, 3).astype(jnp.int32), 4)
-                for do in (0, 1):
-                    wo = jnp.where(do == 0, 1 - fo, fo)
-                    oi = (o0 + do) % 8
-                    ooh = jax.nn.one_hot(oi.astype(jnp.int32), 8)
-                    w = w_desc * wu * wv * wo * u_ok * v_ok
-                    desc = desc + jnp.einsum(
-                        "p,pa,pb,pc->abc", w, voh, uoh, ooh
-                    )
-        d = desc.reshape(-1)
-        norm = jnp.linalg.norm(d) + 1e-7
-        d = jnp.minimum(d / norm, 0.2)             # SIFT clip + renormalize
-        d = d / (jnp.linalg.norm(d) + 1e-7)
-        return theta, d.astype(jnp.float32)
-
+    if multi_orientation:
+        angles, descs, angles2, descs2, has2 = jax.vmap(one)(pgx_all, pgy_all)
+        descs = jnp.where(mask[:, None], descs, 0.0)
+        descs2 = jnp.where((mask & has2)[:, None], descs2, 0.0)
+        return angles, descs, angles2, descs2, has2
     angles, descs = jax.vmap(one)(pgx_all, pgy_all)
     descs = jnp.where(mask[:, None], descs, 0.0)
     return angles, descs
 
+
+def _describe_at(theta, mag, ang, bin_w, offx, offy):
+    """4x4x8 SIFT descriptor for one keypoint's gradient patch at
+    orientation ``theta`` (vmapped by the caller)."""
+    # --- descriptor: rotate coords/orientations into the kp frame ----------
+    c, s = jnp.cos(-theta), jnp.sin(-theta)
+    u = (c * offx - s * offy) / bin_w          # descriptor-frame coords
+    v = (s * offx + c * offy) / bin_w
+    # orientation-bin axis follows cv::SIFT's convention: our gradients are
+    # y-DOWN (ang = atan2(dI/dy_down, dI/dx)) while cv2's are y-up, so the
+    # relative angle is negated before binning (measured: this single sign
+    # lifts coincident-keypoint descriptor cosine vs cv2 from 0.58 to 0.94
+    # median; orientation histograms are direction-agnostic so only the
+    # descriptor layout needs it).
+    rel_ang = jnp.mod(theta - ang, 2 * jnp.pi)
+
+    ub = u + 2.0 - 0.5                         # spatial bin coordinates
+    vb = v + 2.0 - 0.5
+    ob = rel_ang / (2 * jnp.pi) * 8.0
+
+    w_desc = jnp.exp(-(u * u + v * v) / (2 * 2.0 ** 2)) * mag
+
+    u0 = jnp.floor(ub)
+    v0 = jnp.floor(vb)
+    o0 = jnp.floor(ob)
+    fu = ub - u0
+    fv = vb - v0
+    fo = ob - o0
+
+    desc = jnp.zeros((4, 4, 8))
+    for du in (0, 1):
+        wu = jnp.where(du == 0, 1 - fu, fu)
+        ui = u0 + du
+        u_ok = (ui >= 0) & (ui <= 3)
+        uoh = jax.nn.one_hot(jnp.clip(ui, 0, 3).astype(jnp.int32), 4)
+        for dv in (0, 1):
+            wv = jnp.where(dv == 0, 1 - fv, fv)
+            vi = v0 + dv
+            v_ok = (vi >= 0) & (vi <= 3)
+            voh = jax.nn.one_hot(jnp.clip(vi, 0, 3).astype(jnp.int32), 4)
+            for do in (0, 1):
+                wo = jnp.where(do == 0, 1 - fo, fo)
+                oi = (o0 + do) % 8
+                ooh = jax.nn.one_hot(oi.astype(jnp.int32), 8)
+                w = w_desc * wu * wv * wo * u_ok * v_ok
+                desc = desc + jnp.einsum(
+                    "p,pa,pb,pc->abc", w, voh, uoh, ooh
+                )
+    d = desc.reshape(-1)
+    norm = jnp.linalg.norm(d) + 1e-7
+    d = jnp.minimum(d / norm, 0.2)             # SIFT clip + renormalize
+    d = d / (jnp.linalg.norm(d) + 1e-7)
+    return d.astype(jnp.float32)
 
 def sift_detect_and_compute(
     img: jax.Array, config: SIFTConfig = SIFTConfig()
@@ -278,8 +322,23 @@ def sift_detect_and_compute(
     """Detect + describe on a (H, W) float32 grayscale image (0..255)."""
     h, w = img.shape
     img = img.astype(jnp.float32) / 255.0
+    if config.upsample_2x:
+        # cv2 parity: build the scale space on a 2x-upsampled base (cv::SIFT
+        # createInitialImage; assumed input blur 0.5 doubles to 1.0, so the
+        # base blur tops up to sigma from there).  All output coordinates
+        # and sizes map back by 0.5 via coord_scale below.
+        from video_stabilization_tpu.ops.image import resize_bilinear
+
+        work = resize_bilinear(img, 2 * h, 2 * w)
+        base_sigma_inc = math.sqrt(max(config.sigma ** 2 - 1.0, 0.01))
+        coord_scale = 0.5
+    else:
+        work = img
+        base_sigma_inc = config.sigma
+        coord_scale = 1.0
+    wh, ww2 = work.shape
     n_layers = config.n_octave_layers
-    n_octaves = max(1, int(math.floor(math.log2(min(h, w) / 32.0))) + 1)
+    n_octaves = max(1, int(math.floor(math.log2(min(wh, ww2) / 32.0))) + 1)
     k = 2.0 ** (1.0 / n_layers)
     contrast = 0.5 * config.contrast_threshold / n_layers
 
@@ -293,13 +352,13 @@ def sift_detect_and_compute(
     while sum(budgets) > config.max_features:
         budgets[budgets.index(max(budgets))] -= sum(budgets) - config.max_features
 
-    base = _gauss_blur(img, config.sigma)
+    base = _gauss_blur(work, base_sigma_inc)
     octave_img = base
 
     all_pts, all_ang, all_resp, all_size, all_desc, all_mask = [], [], [], [], [], []
     for octave in range(n_octaves):
         oh, ow = octave_img.shape
-        oct_scale = 2.0 ** octave
+        oct_scale = (2.0 ** octave) * coord_scale
         # Gaussian stack
         gauss = [octave_img]
         sig_prev = config.sigma
@@ -339,7 +398,15 @@ def sift_detect_and_compute(
             gl = gauss[layer]
             gx = 0.5 * (jnp.roll(gl, -1, 1) - jnp.roll(gl, 1, 1))
             gy = 0.5 * (jnp.roll(gl, -1, 0) - jnp.roll(gl, 1, 0))
-            ang, desc = _orient_and_describe(gx, gy, pts_layer, kp_mask, sigma_kp)
+            res = _orient_and_describe(
+                gx, gy, pts_layer, kp_mask, sigma_kp,
+                multi_orientation=config.multi_orientation,
+                ori_peak_ratio=config.ori_peak_ratio,
+            )
+            if config.multi_orientation:
+                ang, desc, ang2, desc2, has2 = res
+            else:
+                ang, desc = res
 
             all_pts.append(pts_layer * oct_scale)
             all_ang.append(ang)
@@ -349,6 +416,18 @@ def sift_detect_and_compute(
             )
             all_desc.append(desc)
             all_mask.append(kp_mask)
+            if config.multi_orientation:
+                # second keypoint at the secondary orientation peak (cv2
+                # emits a duplicate keypoint lane; slightly lower response
+                # so capacity truncation prefers the primary)
+                all_pts.append(pts_layer * oct_scale)
+                all_ang.append(ang2)
+                all_resp.append(top * 0.999)
+                all_size.append(
+                    jnp.full((budget_layer,), 2.0 * sigma_kp * oct_scale)
+                )
+                all_desc.append(desc2)
+                all_mask.append(kp_mask & has2)
 
         octave_img = gauss[n_layers][::2, ::2]
 
