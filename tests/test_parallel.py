@@ -77,9 +77,16 @@ class TestBatchedStep:
             bcarry, (bout, _) = bstep(bcarry, stream_frames[t])
             for s in range(n_streams):
                 scarrys[s], (sout, _) = sstep(scarrys[s], stream_frames[t, s])
-                np.testing.assert_array_equal(
-                    np.asarray(bout[s]), np.asarray(sout),
-                    err_msg=f"stream {s} frame {t} diverged",
+                # vmap changes XLA fusion/contraction order, so a handful of
+                # pixels sitting exactly on a .5 rounding boundary may flip
+                # by one uint8 step; anything larger is a real divergence
+                diff = np.abs(
+                    np.asarray(bout[s]).astype(np.int16)
+                    - np.asarray(sout).astype(np.int16)
+                )
+                assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, (
+                    f"stream {s} frame {t} diverged: max {diff.max()}, "
+                    f"{(diff > 0).mean():.2%} pixels differ"
                 )
 
 
@@ -114,6 +121,36 @@ class TestShardedStep:
             cs, (outs, _) = sstep(cs, frames)
             cb, (outb, _) = bstep(cb, frames)
         np.testing.assert_array_equal(np.asarray(outs), np.asarray(outb))
+
+    def test_sharded_offline_matches_streaming(self, stream_frames):
+        """Multi-chip offline throughput path: streams sharded over the
+        8-device mesh, a K-frame chunk batched per stream — must agree with
+        the per-stream streaming step (uint8 outputs, +-1 rounding flips
+        from batched float order allowed)."""
+        from video_stabilization_tpu.engine import make_step_fn
+        from video_stabilization_tpu.parallel import make_sharded_offline_fn
+
+        cfg = tiny_config()
+        mesh = make_stream_mesh()
+        n_streams, k = 8, 3
+        frames = jnp.tile(stream_frames[:k, :1], (1, n_streams, 1, 1, 1))
+        frames_sk = jnp.swapaxes(frames, 0, 1)        # (S, K, H, W, C)
+
+        carry0 = init_batched_carry(cfg, n_streams, 0, jax.random.key(3))
+        offline = make_sharded_offline_fn(cfg, mesh)
+        co = shard_carry(carry0, mesh)
+        co, (outs_o, _) = offline(co, frames_sk)
+
+        sstep = make_step_fn(cfg)
+        c1 = jax.tree.map(lambda leaf: leaf[0], carry0)
+        outs_s = []
+        for t in range(k):
+            c1, (out, _) = sstep(c1, frames[t, 0])
+            outs_s.append(np.asarray(out))
+        diff = np.abs(np.asarray(outs_o[0]).astype(np.int16)
+                      - np.stack(outs_s).astype(np.int16))
+        assert diff.max() <= 1
+        assert int(co.n[0]) == k
 
 
 class TestGraftEntry:

@@ -8,3 +8,9 @@ from video_stabilization_tpu.engine.stabilizer import (  # noqa: F401
     make_step_fn,
     stabilize_step,
 )
+from video_stabilization_tpu.engine.offline import (  # noqa: F401
+    make_offline_batched_fn,
+    make_offline_fn,
+    offline_chunk_step,
+    stabilize_clip_offline,
+)

@@ -75,6 +75,41 @@ def _rotation_about(theta: jax.Array, center: jax.Array) -> jax.Array:
     return compose_homography(p, center)
 
 
+def _fit_inter_frame(src, dst, status, key, config: StabilizerConfig, center):
+    """RANSAC motion fit of tracked correspondences + isotropic-scale removal
+    (reference: estimateMotion, src/stabilizer.cpp:211-275).  Shared by the
+    streaming step and the offline batched pipeline."""
+    if config.ransac.motion_model == "rigid":
+        # reference path: similarity fit, then kill isotropic scale about
+        # the image center (src/stabilizer.cpp:224-267)
+        ransac = estimate_similarity_ransac(src, dst, status, key, config.ransac)
+        t_rigid, _ = remove_isotropic_scale(ransac.h, center)
+    else:
+        # richer motion family: similarity hypotheses select inliers, the
+        # configured model refits on them (LO-RANSAC; models.motion_models)
+        from video_stabilization_tpu.models.motion_models import (
+            MotionModel, fit_motion,
+        )
+
+        model = MotionModel(config.ransac.motion_model)
+        ransac = estimate_similarity_ransac(
+            src, dst, status, key, config.ransac,
+            refit_fn=lambda s, d, w: fit_motion(model, s, d, w, center),
+        )
+        t_rigid = ransac.h
+    return ransac, t_rigid
+
+
+def frame_keys(base_key: jax.Array, n: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-frame PRNG keys as a pure function of (base key, frame counter):
+    (k_ransac, k_lock).  Index-derived (fold_in) rather than chained (split)
+    so the offline batched pipeline draws the SAME randomness as the
+    streaming step for the same absolute frame index."""
+    k_ransac = jax.random.fold_in(base_key, n * 2)
+    k_lock = jax.random.fold_in(base_key, n * 2 + 1)
+    return k_ransac, k_lock
+
+
 def stabilize_step(
     carry: EngineCarry,
     frame: jax.Array,
@@ -87,15 +122,20 @@ def stabilize_step(
     center = jnp.array([ww / 2.0, wh / 2.0], jnp.float32)
     scale_factor = jnp.float32(config.scale_factor)
 
-    key, k_ransac = jax.random.split(carry.key)
+    key = carry.key
+    k_ransac, k_lock = frame_keys(key, carry.n)
 
     # -- 1. working-res gray + pyramid ---------------------------------------
     # (named_scope annotations carry through to XLA op names, so profiler
     # traces attribute device time to the reference's printTimings taxonomy —
     # utils/stage_profile.py aggregates them)
     with jax.named_scope("stage_gray_pyramid"):
-        gray_full = bgr_to_gray(frame)
-        gray = resize_bilinear(gray_full, wh, ww)
+        # resize BEFORE gray (reference order, src/stabilizer.cpp:1170-1175):
+        # the strided-slice resize then touches 1/9th of the 1080p frame and
+        # no full-res float gray is ever materialized (the two linear ops
+        # commute exactly for channel-independent bilinear weights)
+        small = resize_bilinear(frame.astype(jnp.float32), wh, ww)
+        gray = bgr_to_gray(small)
         pyr = build_pyramid(gray, config.lk.pyramid_levels)
 
     # -- 2-3. track + estimate inter-frame motion ----------------------------
@@ -103,28 +143,10 @@ def stabilize_step(
         tracked = lk_track(carry.pyr_prev, pyr, carry.corners_prev,
                            carry.corners_mask, config.lk)
     with jax.named_scope("stage_fit"):
-        if config.ransac.motion_model == "rigid":
-            # reference path: similarity fit, then kill isotropic scale about
-            # the image center (src/stabilizer.cpp:224-267)
-            ransac = estimate_similarity_ransac(
-                carry.corners_prev, tracked.points, tracked.status, k_ransac,
-                config.ransac,
-            )
-            t_rigid, _ = remove_isotropic_scale(ransac.h, center)
-        else:
-            # richer motion family: similarity hypotheses select inliers, the
-            # configured model refits on them (LO-RANSAC; models.motion_models)
-            from video_stabilization_tpu.models.motion_models import (
-                MotionModel, fit_motion,
-            )
-
-            model = MotionModel(config.ransac.motion_model)
-            ransac = estimate_similarity_ransac(
-                carry.corners_prev, tracked.points, tracked.status, k_ransac,
-                config.ransac,
-                refit_fn=lambda s, d, w: fit_motion(model, s, d, w, center),
-            )
-            t_rigid = ransac.h
+        ransac, t_rigid = _fit_inter_frame(
+            carry.corners_prev, tracked.points, tracked.status, k_ransac,
+            config, center,
+        )
     is_first = carry.n == 0
     have_prev = carry.n >= 1
     t_new = jnp.where(have_prev & ransac.valid, t_rigid, jnp.eye(3))
@@ -210,8 +232,6 @@ def stabilize_step(
 
     def lock_clear(args):
         return jnp.eye(3, dtype=jnp.float32), jnp.zeros((), bool)
-
-    key, k_lock = jax.random.split(key)
 
     def accum_branch(_):
         accum_h, accum_active = jax.lax.cond(

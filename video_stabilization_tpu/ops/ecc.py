@@ -56,6 +56,7 @@ def ecc_refine_euclidean(
     h_init: jax.Array,
     max_iters: int = 50,
     eps: float = 1e-3,
+    warp_fallback: bool = True,
 ) -> ECCResult:
     """Refine ``h_init`` so that cur(W(x)) aligns with ref(x).
 
@@ -64,6 +65,11 @@ def ecc_refine_euclidean(
       h_init: (3, 3) initial transform mapping ref pixel coords into cur
         (i.e. the warp that samples cur to produce a ref-aligned image —
         same convention as the inverse of the lock transform).
+      warp_fallback: guard the internal Pallas warps with the projective
+        gather fallback outside the ~9-degree envelope.  Disable under vmap
+        (batched/offline paths), where the lax.cond would run both branches
+        for every lane; a transform outside the envelope then merely fails
+        to improve rho and ECC returns ``h_init`` unchanged.
     """
     hgt, wid = ref.shape
     # all statistics over an interior crop: warp border fill would otherwise
@@ -92,7 +98,8 @@ def ecc_refine_euclidean(
         theta, tx, ty, done = carry
         w = _euclidean_h(theta, tx, ty)
         # warp_affine samples src at hinv.dst; we need iw(x)=cur(W x)
-        iw_full = warp_affine(cur, _inv3x3(w), border_value=0.0)
+        iw_full = warp_affine(cur, _inv3x3(w), border_value=0.0,
+                              projective_fallback=warp_fallback)
 
         gx_full = 0.5 * (jnp.roll(iw_full, -1, 1) - jnp.roll(iw_full, 1, 1))
         gy_full = 0.5 * (jnp.roll(iw_full, -1, 0) - jnp.roll(iw_full, 1, 0))
@@ -141,9 +148,11 @@ def ecc_refine_euclidean(
     )
 
     h_ref = _euclidean_h(theta, tx, ty)
-    iw_final = warp_affine(cur, _inv3x3(h_ref), border_value=0.0)
+    iw_final = warp_affine(cur, _inv3x3(h_ref), border_value=0.0,
+                           projective_fallback=warp_fallback)
     rho_final = rho_of(iw_final)
-    iw_init = warp_affine(cur, _inv3x3(h_init.astype(jnp.float32)), 0.0)
+    iw_init = warp_affine(cur, _inv3x3(h_init.astype(jnp.float32)), 0.0,
+                          projective_fallback=warp_fallback)
     rho_init = rho_of(iw_init)
 
     improved = (rho_final >= rho_init) & jnp.all(jnp.isfinite(h_ref))

@@ -288,12 +288,15 @@ def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
         [jnp.asarray(lin1[:n_res]), jnp.asarray(lin2[:n_res])],
         axis=1,
     ).reshape(-1)                                    # (n_res*512,)
-    # anchor E on the input so XLA does not constant-fold an 18 MB one-hot
-    # into the executable (built per call instead: ~9M fused compares)
-    anchor = (both[0, 0, 0] * 0.0 + 1.0).astype(jnp.bfloat16)
-    esel = (
-        jnp.arange(_EXTRACT * _EXTRACT)[:, None] == lin[None, :]
-    ).astype(jnp.bfloat16) * anchor                  # (P², n_res*512)
+    # optimization_barrier stops XLA from constant-folding an 18 MB one-hot
+    # into the executable (built per call instead: ~9M fused compares).
+    # Unlike the former input-anchor trick, the barrier keeps E batch-
+    # INVARIANT under vmap: the offline pipeline's vmapped describe then
+    # shares one table across lanes instead of materializing (K, P², 512·18).
+    esel = jax.lax.optimization_barrier(
+        (jnp.arange(_EXTRACT * _EXTRACT)[:, None] == lin[None, :]
+         ).astype(jnp.bfloat16)
+    )                                                # (P², n_res*512)
     sampled = jnp.matmul(flat, esel, preferred_element_type=jnp.float32)
     sampled = sampled.reshape(n, n_res, 2, 256)
 

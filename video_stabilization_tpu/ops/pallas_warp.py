@@ -165,6 +165,24 @@ def _affine_span_ok(alpha, beta, copies: int = COPIES) -> jax.Array:
     return jnp.abs(alpha - 1.0) * 8.0 + jnp.abs(beta) * 128.0 + 3.0 <= copies
 
 
+def affine_envelope_ok(h: jax.Array) -> jax.Array:
+    """True when the (3, 3) transform fits the full-envelope Pallas kernel
+    (both passes' row spans within COPIES, ~9 deg rotation).  Scalar bool —
+    lets batched callers hoist ONE ``lax.cond`` over a whole chunk instead
+    of a per-frame fallback switch (engine/offline.py stage 7)."""
+    hinv = _inv3x3(h.astype(jnp.float32))
+    a, b = hinv[0, 0], hinv[0, 1]
+    cc, d = hinv[1, 0], hinv[1, 1]
+    a_safe = jnp.where(jnp.abs(a) > 1e-3, a, 1e-3)
+    alpha1 = d - cc * b / a_safe
+    beta1 = cc / a_safe
+    return (
+        _affine_span_ok(alpha1, beta1)
+        & _affine_span_ok(a, b)
+        & (jnp.abs(a) > 1e-3)
+    )
+
+
 def _warp_planes_pallas(planes: jax.Array, hinv: jax.Array,
                         interpret: bool, copies: int = COPIES) -> jax.Array:
     """(C, H, W) f32 planes warped by the inverse map ``hinv`` (affine rows).

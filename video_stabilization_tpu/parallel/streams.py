@@ -162,3 +162,34 @@ def shard_carry(carry: EngineCarry, mesh: Mesh) -> EngineCarry:
     """Place a batched carry onto the mesh, stream-sharded."""
     sharding = NamedSharding(mesh, P(STREAM_AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), carry)
+
+
+def make_sharded_offline_fn(config: StabilizerConfig, mesh: Mesh) -> Callable:
+    """Multi-chip offline throughput: (carry_batch, frames (S, K, Hf, Wf, C))
+    -> (carry_batch, (outputs, valid)) with streams sharded over the mesh and
+    the K-frame chunk batched per stream (engine/offline.py).  Streams never
+    interact, so the steady state needs zero collectives; each chip runs the
+    fully batched per-chunk pipeline on its stream shard."""
+    import dataclasses
+    import functools as _ft
+
+    from video_stabilization_tpu.engine.offline import (
+        _BOUNDED_MODES, _offline_config, offline_chunk_step,
+    )
+
+    if config.static_mode is None:
+        raise ValueError("sharded offline pipeline requires config.static_mode")
+    cfg = _offline_config(config)
+    if int(cfg.static_mode) not in _BOUNDED_MODES:
+        cfg = dataclasses.replace(cfg, warp_projective_fallback=False)
+    vstep = jax.vmap(_ft.partial(offline_chunk_step, config=cfg))
+
+    stream_sharding = NamedSharding(mesh, P(STREAM_AXIS))
+
+    def sharded_step(carry, frames):
+        carry = jax.lax.with_sharding_constraint(
+            carry, jax.tree.map(lambda _: stream_sharding, carry))
+        frames = jax.lax.with_sharding_constraint(frames, stream_sharding)
+        return vstep(carry, frames)
+
+    return jax.jit(sharded_step, donate_argnums=0)
