@@ -42,18 +42,22 @@ def fast_score(img: jax.Array, threshold: float) -> Tuple[jax.Array, jax.Array]:
     )  # (16, H, W)
 
     bright_margin = ring - img[None]          # p_i - p
-    dark_margin = -bright_margin              # p - p_i
 
-    def arc_min(margin):
-        # min over each of the 16 contiguous 9-arcs of the ring
-        wrapped = jnp.concatenate([margin, margin[: ARC_LEN - 1]], axis=0)  # (24,H,W)
-        mins = wrapped[:16]
-        for k in range(1, ARC_LEN):
-            mins = jnp.minimum(mins, wrapped[k : k + 16])
-        return jnp.max(mins, axis=0)          # best arc per pixel
+    def _roll(a, k):
+        return jnp.concatenate([a[k:], a[:k]], axis=0)
 
-    score_bright = arc_min(bright_margin)
-    score_dark = arc_min(dark_margin)
+    def arc9(margin, op):
+        # windowed op over all 16 contiguous 9-arcs by doubling: 4 passes
+        # over the (16, H, W) stack instead of 9 (HBM-bound stencil)
+        m2 = op(margin, _roll(margin, 1))
+        m4 = op(m2, _roll(m2, 2))
+        m8 = op(m4, _roll(m4, 4))
+        return op(m8, _roll(margin, 8))
+
+    # dark arcs are the negated bright arcs: arc_min(-m) = -arc_max(m), so
+    # one stack serves both polarities
+    score_bright = jnp.max(arc9(bright_margin, jnp.minimum), axis=0)
+    score_dark = jnp.max(-arc9(bright_margin, jnp.maximum), axis=0)
     score = jnp.maximum(score_bright, score_dark)
 
     is_corner = score > threshold

@@ -9,18 +9,21 @@ docs/math-overview.md "Image Preprocessing Pipeline") is:
 All four are implemented here as fused XLA programs over (H, W) float/uint8
 images:
 
-- **median_blur**: the 25 shifted neighborhoods are stacked and reduced with
-  a vectorized median (one XLA sort over a 25-length axis, fully parallel
-  across pixels) — no data-dependent control flow.  Borders replicate
-  (OpenCV medianBlur convention).
+- **median_blur**: integer inputs (the whole chain, like the reference's u8
+  Mats) take an 8-step bitwise bisection on the order statistic over the 25
+  shifted neighborhoods — no sort, no data-dependent control flow; general
+  floats fall back to a vectorized jnp.median.  Borders replicate (OpenCV
+  medianBlur convention).
 - **sharpen3**: separable-free 3x3 stencil, reflect-101 borders (filter2D's
   BORDER_DEFAULT).
-- **clahe**: per-tile 256-bin histograms computed as an equality-vs-bins
-  reduction (tile_pixels x 256 one-hot sum — pure VPU work, no scatters),
-  OpenCV-style clip + uniform redistribution with residual-to-first-bins,
-  CDF LUTs, and bilinear blending of the 4 neighboring tile LUTs per pixel.
-  Images not divisible by the tile grid are reflect-padded then cropped,
-  like cv::CLAHE.
+- **clahe**: per-tile 256-bin histograms and the LUT application both ride
+  ONE (pixels x 256) one-hot value matrix: histograms are a block reduction
+  of it, and evaluating EVERY tile's clipped-CDF LUT at every pixel is one
+  bf16 MXU matmul against the (tiles, 256) LUT table; the per-pixel bilinear
+  tile blend then contracts the result's tile axes against per-row/per-column
+  weight vectors.  No scatters, no gathers, ~0.3 GB traffic at 360p.  Images
+  not divisible by the tile grid are reflect-padded then cropped, like
+  cv::CLAHE.
 """
 
 from __future__ import annotations
@@ -35,8 +38,18 @@ def _replicate_pad(img: jax.Array, pad: int) -> jax.Array:
     return jnp.pad(img, pad, mode="edge")
 
 
-def median_blur(img: jax.Array, ksize: int = 5) -> jax.Array:
-    """ksize x ksize median filter, replicate borders (cv2.medianBlur)."""
+def median_blur(
+    img: jax.Array, ksize: int = 5, *, assume_u8: bool = False
+) -> jax.Array:
+    """ksize x ksize median filter, replicate borders (cv2.medianBlur).
+
+    ``assume_u8=True`` promises integer values in [0, 255] and switches to an
+    8-step bitwise bisection on the order statistic: XLA lowers jnp.median to
+    a full bitonic sort of the (k², H, W) stack (~30 passes over 23 MB at
+    360p); the bisection reads the k² shifted views 8 times with no sort —
+    ~4x less HBM traffic — and is exact for integers (cv2.medianBlur operates
+    on uint8 anyway).
+    """
     pad = ksize // 2
     x = _replicate_pad(img, pad)
     h, w = img.shape[-2], img.shape[-1]
@@ -45,8 +58,19 @@ def median_blur(img: jax.Array, ksize: int = 5) -> jax.Array:
         for dy in range(ksize)
         for dx in range(ksize)
     ]
-    stack = jnp.stack(shifts, axis=0)
-    return jnp.median(stack, axis=0)
+    if not assume_u8:
+        stack = jnp.stack(shifts, axis=0)
+        return jnp.median(stack, axis=0)
+
+    # median of k² integers = the largest m with count(v >= m) >= k²//2+1;
+    # build m bit by bit (binary search on the answer)
+    need = ksize * ksize // 2 + 1
+    m = jnp.zeros(img.shape, jnp.float32)
+    for bit in (128.0, 64.0, 32.0, 16.0, 8.0, 4.0, 2.0, 1.0):
+        t = m + bit
+        cnt = sum((s >= t).astype(jnp.int32) for s in shifts)
+        m = jnp.where(cnt >= need, t, m)
+    return m
 
 
 SHARPEN_KERNEL = ((0.0, -1.0, 0.0), (-1.0, 5.0, -1.0), (0.0, -1.0, 0.0))
@@ -88,14 +112,17 @@ def clahe(
     padded = jnp.pad(img_u8, ((0, ph), (0, pw)), mode="reflect") if (ph or pw) else img_u8
     hh, ww = padded.shape
 
-    # --- per-tile histograms (ty*tx, 256), no scatters ----------------------
-    tiles_px = padded.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3).reshape(
-        ty * tx, th * tw
-    )
-    bins = jnp.arange(256, dtype=jnp.float32)
+    # --- one-hot value matrix, shared by histogram + LUT application --------
+    # (hh, ww, 256) bf16; 0/1 entries are exact, and both consumers are
+    # MXU/reduction ops over it
+    bins_i = jnp.arange(256, dtype=jnp.int32)
+    vals_i = padded.astype(jnp.int32)
+    onehot = (vals_i[..., None] == bins_i).astype(jnp.bfloat16)
+
+    # --- per-tile histograms (ty, tx, 256), no scatters ----------------------
     hist = jnp.sum(
-        tiles_px[:, :, None] == bins[None, None, :], axis=1, dtype=jnp.float32
-    )  # (T, 256)
+        onehot.reshape(ty, th, tx, tw, 256), axis=(1, 3), dtype=jnp.float32
+    ).reshape(ty * tx, 256)
 
     # --- clip + redistribute (OpenCV calcLut integer semantics) -------------
     # OpenCV truncates the limit to int (max(1, int(clip*area/256))) and
@@ -132,34 +159,34 @@ def clahe(
     wx = jnp.clip(fx - jnp.floor(fx), 0.0, 1.0)
     wx = jnp.where(fx < 0, 0.0, wx)
 
-    vals = padded.astype(jnp.int32)                     # (hh, ww) in [0,255]
-    wyc = wy[:, None]
-    wxc = wx[None, :]
-
     # Per-pixel output = bilinear blend of 4 neighbor-tile LUTs evaluated at
     # the pixel's gray value.  A direct luts[tile, val] lookup is a 2D HLO
-    # gather (~8 ms at 360p on TPU — latency-bound); instead blend the LUTs
-    # FIRST into a per-pixel-blended LUT *image* per bin... equivalently:
-    # upsample each LUT bin-plane to pixel resolution with shared-index row/
-    # col takes (tiny (ty,tx) grids), then select by value with 256 masked
-    # accumulations — pure VPU, no gathers.
-    rows0 = jnp.take(luts, y0, axis=0)                  # (hh, tx, 256)
-    rows1 = jnp.take(luts, y1, axis=0)
-    lut_rows = rows0 * (1 - wyc[..., None]) + rows1 * wyc[..., None]
+    # gather (~8 ms at 360p on TPU — latency-bound); a chunked
+    # blend-then-select loop is gather-free but moves ~1 GB of (hh, ww, C)
+    # intermediates.  The MXU formulation: ONE matmul evaluates EVERY tile's
+    # LUT at every pixel's value (one-hot rows select LUT columns),
+    #     R[p, t] = lut_t[val(p)]          (P, 256) @ (256, T)
+    # then the bilinear blend is two tiny contractions of R's tile axes
+    # against per-row / per-column weight vectors (two nonzeros each) —
+    # ~0.3 GB total traffic and it batches cleanly under vmap.
+    luts16 = luts.reshape(ty * tx, 256).astype(jnp.bfloat16)  # ints: exact
+    r = jnp.matmul(
+        onehot.reshape(hh * ww, 256), luts16.T,
+        preferred_element_type=jnp.float32,
+    ).reshape(hh, ww, ty, tx)
 
-    # Blending along x eagerly would materialize (hh, ww, 256) = 235 MB at
-    # 360p; chunks of 32 bins keep peak live memory at (hh, ww, 32) ≈ 29 MB
-    # while the value-select stays fully vectorized (and the graph stays 8
-    # chunk bodies, not 256 unrolled iterations).
-    out = jnp.zeros((hh, ww), jnp.float32)
-    chunk = 32
-    for b0 in range(0, 256, chunk):
-        planes = lut_rows[:, :, b0 : b0 + chunk]        # (hh, tx, C)
-        p0 = jnp.take(planes, x0, axis=1)               # (hh, ww, C)
-        p1 = jnp.take(planes, x1, axis=1)
-        up = p0 * (1 - wxc[..., None]) + p1 * wxc[..., None]
-        sel = vals[..., None] == jnp.arange(b0, b0 + chunk)[None, None, :]
-        out = out + jnp.sum(jnp.where(sel, up, 0.0), axis=-1)
+    trange_y = jnp.arange(ty)
+    yw = (
+        (y0[:, None] == trange_y) * (1.0 - wy)[:, None]
+        + (y1[:, None] == trange_y) * wy[:, None]
+    )                                                   # (hh, ty)
+    trange_x = jnp.arange(tx)
+    xw = (
+        (x0[:, None] == trange_x) * (1.0 - wx)[:, None]
+        + (x1[:, None] == trange_x) * wx[:, None]
+    )                                                   # (ww, tx)
+    tmp = jnp.einsum("hwyx,hy->hwx", r, yw)
+    out = jnp.einsum("hwx,wx->hw", tmp, xw)
     return out[:h, :w]
 
 
@@ -169,9 +196,16 @@ def preprocess_for_registration(
     tiles: Tuple[int, int] = (8, 8),
     median_ksize: int = 5,
 ) -> jax.Array:
-    """Full reference preprocessing chain for ORB/SIFT lock modes."""
-    x = median_blur(gray, median_ksize)
+    """Full reference preprocessing chain for ORB/SIFT lock modes.
+
+    Values are integer (uint8-equivalent) at every stage, matching the
+    reference's cv::Mat u8 pipeline: gray rounds on entry, the sharpen of
+    integers is integer, CLAHE rounds its blended LUT output like cv::CLAHE
+    — which lets both medians take the fast integer-bisection path.
+    """
+    x = jnp.clip(jnp.round(gray.astype(jnp.float32)), 0.0, 255.0)
+    x = median_blur(x, median_ksize, assume_u8=True)
     x = jnp.clip(sharpen3(x), 0.0, 255.0)
-    x = clahe(x, clip_limit, tiles)
-    x = median_blur(x, median_ksize)
+    x = jnp.clip(jnp.round(clahe(x, clip_limit, tiles)), 0.0, 255.0)
+    x = median_blur(x, median_ksize, assume_u8=True)
     return x

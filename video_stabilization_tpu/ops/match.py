@@ -42,12 +42,13 @@ def match_hamming_knn(
     dist = 0.5 * (nbits - dots)
 
     dist = jnp.where(mask2[None, :], dist, _BIG)
-    # top-2 smallest
-    neg = -dist
-    top2, idx2 = jax.lax.top_k(neg, 2)
-    d1 = -top2[:, 0]
-    d2 = -top2[:, 1]
-    best = idx2[:, 0]
+    # top-2 smallest via two masked min-reductions: lax.top_k lowers to a
+    # full row sort on TPU (~4 ms at 1300x1300); three VPU reductions do the
+    # same job in microseconds
+    best = jnp.argmin(dist, axis=1)
+    d1 = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    cols = jnp.arange(dist.shape[1], dtype=jnp.int32)[None, :]
+    d2 = jnp.min(jnp.where(cols == best[:, None], _BIG, dist), axis=1)
 
     valid = mask1 & (d1 < _BIG / 2) & (d2 < _BIG / 2) & (d1 < lowe_ratio * d2)
     return Matches(idx=best.astype(jnp.int32), distance=d1, valid=valid)

@@ -222,9 +222,28 @@ def _detect_level(img: jax.Array, n_keep: int, fast_threshold: float,
     return jnp.stack([xs, ys], -1), top, mask
 
 
+def _pattern_esel(pattern: str) -> jax.Array:
+    """The (P², n_res·512) bf16 one-hot descriptor-sampling table.  Built
+    ONCE per program and shared by every pyramid level (it is 17.7 MB —
+    rebuilding it per level cost ~12x its traffic); the optimization_barrier
+    stops XLA from constant-folding it into the executable, and keeps it
+    batch-invariant under vmap (offline pipeline lanes share one table)."""
+    n_res = N_ANGLE_BINS // 4
+    lin1, lin2 = _pattern_tables(pattern)
+    lin = jnp.concatenate(
+        [jnp.asarray(lin1[:n_res]), jnp.asarray(lin2[:n_res])],
+        axis=1,
+    ).reshape(-1)                                    # (n_res*512,)
+    return jax.lax.optimization_barrier(
+        (jnp.arange(_EXTRACT * _EXTRACT)[:, None] == lin[None, :]
+         ).astype(jnp.bfloat16)
+    )
+
+
 def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
                          pts: jax.Array, mask: jax.Array,
-                         pattern: str = "cv2"):
+                         pattern: str = "cv2",
+                         esel: jax.Array | None = None):
     """Intensity-centroid angles + steered BRIEF for keypoints on one level.
 
     TPU-first batched formulation — the naive per-point version
@@ -283,20 +302,8 @@ def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
         sel = jnp.where((k_rot == k)[:, None, None], rot, sel)
     flat = sel.reshape(n, _EXTRACT * _EXTRACT).astype(jnp.bfloat16)
 
-    lin1, lin2 = _pattern_tables(pattern)
-    lin = jnp.concatenate(
-        [jnp.asarray(lin1[:n_res]), jnp.asarray(lin2[:n_res])],
-        axis=1,
-    ).reshape(-1)                                    # (n_res*512,)
-    # optimization_barrier stops XLA from constant-folding an 18 MB one-hot
-    # into the executable (built per call instead: ~9M fused compares).
-    # Unlike the former input-anchor trick, the barrier keeps E batch-
-    # INVARIANT under vmap: the offline pipeline's vmapped describe then
-    # shares one table across lanes instead of materializing (K, P², 512·18).
-    esel = jax.lax.optimization_barrier(
-        (jnp.arange(_EXTRACT * _EXTRACT)[:, None] == lin[None, :]
-         ).astype(jnp.bfloat16)
-    )                                                # (P², n_res*512)
+    if esel is None:
+        esel = _pattern_esel(pattern)                # (P², n_res*512)
     sampled = jnp.matmul(flat, esel, preferred_element_type=jnp.float32)
     sampled = sampled.reshape(n, n_res, 2, 256)
 
@@ -319,6 +326,7 @@ def orb_detect_and_compute(
                              config.scale_factor)
 
     all_pts, all_ang, all_resp, all_size, all_desc, all_mask = [], [], [], [], [], []
+    esel = _pattern_esel(config.pattern)    # one 17.7 MB table for ALL levels
     level_img = img
     for level in range(config.n_levels):
         scale = config.scale_factor ** level
@@ -330,7 +338,7 @@ def orb_detect_and_compute(
         )
         blur = _gauss7(level_img)
         ang, desc = _orient_and_describe(level_img, blur, pts, mask,
-                                         config.pattern)
+                                         config.pattern, esel=esel)
 
         all_pts.append(pts * scale)
         all_ang.append(ang)
