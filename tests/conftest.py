@@ -19,12 +19,15 @@ import jax  # noqa: E402
 # override it back so tests run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the engine-step compiles dominate suite time
-# on this single-core host; cached executables make reruns minutes faster.
+# Persistent compilation cache, READ-ONLY: warm entries (written by earlier
+# CLI/bench/dryrun processes) still load instantly, but the suite never
+# serializes executables itself — PJRT:CPU's executable.serialize() CHECK-
+# aborts the whole process for some engine-step programs (observed three
+# times at compilation_cache.put_executable_and_time; min_compile_time=1e9
+# makes every write skip, which sidesteps the abort without losing reads).
 try:
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/vstab_test_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 except Exception:
     pass
 
