@@ -566,6 +566,7 @@ def bench_one(idx, args):
         log(f"TPU e2e incl. native decode: {fps_e2e:.1f} fps")
         result["tpu_fps_device_resident"] = result["tpu_fps_per_chip"]
         result["tpu_fps_per_chip"] = round(fps_e2e, 2)
+        result["throughput_path"] = "native Y4M decode -> offline batched"
         tpu_fps = fps_e2e
         result["ingest_note"] = (
             "headline fps streams from the native C++ Y4M decoder through "
