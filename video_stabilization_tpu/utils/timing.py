@@ -90,12 +90,22 @@ def enable_compile_cache(path: str = "/root/.cache/vstab_jax_cache") -> None:
     The full engine step with all lock branches compiles for minutes on the
     remote-compile TPU path; the on-disk cache makes every later process
     start instantly for the same config.
+
+    On the CPU backend the cache is left READ-ONLY: PJRT:CPU's
+    ``executable.serialize()`` CHECK-aborts the whole process for some
+    engine-step programs (reproduced three times at
+    ``compilation_cache.put_executable_and_time`` — see docs/roadmap.md).
+    TPU executables serialize fine, and they are the ones worth persisting.
     """
     import jax
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        on_cpu = jax.default_backend() == "cpu"
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            1e9 if on_cpu else 1.0,
+        )
     except Exception:
         pass
 
