@@ -213,11 +213,12 @@ def bench_throughput_offline(frames, cfg, mode, n_streams=1, chunk=16, reps=2):
 
 
 def bench_file_streaming(y4m_path, n_frames, cfg, mode, chunk=8):
-    """End-to-end fps of the native file path: NativeY4MReader (C++ decode)
-    -> PrefetchingFileSource (background thread + native frame ring) ->
-    chunked H2D -> device scan.  Decode overlaps device compute; the number
-    includes ALL host costs (VERDICT r2 weak #6: the native decoder must be
-    in the measured loop, reference src/main_utils.cpp:262-281,397-417)."""
+    """End-to-end fps of the native file path: NativeY4MReader raw-plane
+    fread -> PrefetchingYUVSource (background thread + native frame ring) ->
+    chunked planar H2D -> on-device YUV->BGR -> device scan.  Decode
+    overlaps device compute; the number includes ALL host costs (VERDICT r2
+    weak #6: the native decoder must be in the measured loop, reference
+    src/main_utils.cpp:262-281,397-417)."""
     import dataclasses
 
     import jax
@@ -226,7 +227,7 @@ def bench_file_streaming(y4m_path, n_frames, cfg, mode, chunk=8):
     from video_stabilization_tpu.engine import make_offline_fn
     from video_stabilization_tpu.engine.state import init_carry
     from video_stabilization_tpu.io.native import (
-        NativeY4MReader, PrefetchingFileSource,
+        NativeY4MReader, PrefetchingYUVSource,
     )
     from video_stabilization_tpu.utils.timing import enable_compile_cache
 
@@ -234,8 +235,23 @@ def bench_file_streaming(y4m_path, n_frames, cfg, mode, chunk=8):
     cfg_off = dataclasses.replace(cfg, static_mode=int(mode))
     scan = make_offline_fn(cfg_off)
 
+    probe = NativeY4MReader(y4m_path)
+    h, w = probe.frame_size
+    c420 = probe.is_c420
+    probe.close()
+
+    # the host only freads raw Y|U|V planes; colorspace conversion runs on
+    # device fused ahead of the offline scan (half the H2D bytes for C420,
+    # and none of the native reader's per-pixel float conversion loop)
+    from video_stabilization_tpu.ops.image import yuv_flat_to_bgr
+
+    @jax.jit
+    def scan_yuv(carry, yuv_chunk):
+        frames = yuv_flat_to_bgr(yuv_chunk, h, w, c420)
+        return scan(carry, frames)
+
     def stream_once(measure):
-        src = PrefetchingFileSource(NativeY4MReader(y4m_path), depth=2 * chunk)
+        src = PrefetchingYUVSource(NativeY4MReader(y4m_path), depth=2 * chunk)
         carry = init_carry(cfg_off, int(mode), jax.random.key(0))
         t0 = time.perf_counter()
         done = 0
@@ -250,7 +266,7 @@ def bench_file_streaming(y4m_path, n_frames, cfg, mode, chunk=8):
             if len(batch) < chunk:
                 break
             stacked = jnp.asarray(np.stack(batch))
-            carry, (out, _) = scan(carry, stacked)
+            carry, (out, _) = scan_yuv(carry, stacked)
             done += chunk
         if out is not None:
             _checksum(out)                      # completion barrier
@@ -557,7 +573,7 @@ def bench_one(idx, args):
 
         y4m = "/tmp/bench_config2.y4m"
         log(f"writing {n_frames} frames to {y4m}...")
-        wr = VideoWriter(y4m, 30.0, (h, w))
+        wr = VideoWriter(y4m, 30.0, (h, w), subsampling="420")
         for i in range(n_frames):
             wr.write(np.asarray(footage[i]))
         wr.close()

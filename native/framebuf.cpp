@@ -196,6 +196,25 @@ int y4m_read_bgr(Y4MReader* r, uint8_t* out) {
     return 1;
 }
 
+int y4m_is_c420(Y4MReader* r) { return r->c420; }
+
+// Reads one frame's RAW planes packed Y|U|V into out (ysize + 2*csize
+// bytes) with NO colorspace conversion — pure fread.  The per-pixel float
+// YUV->BGR loop in y4m_read_bgr is ~10x the cost of the read itself at
+// 360p on this host; the TPU engine converts on device instead
+// (ops/image.py yuv_to_bgr), which also halves H2D bytes for C420.
+int y4m_read_yuv(Y4MReader* r, uint8_t* out) {
+    char hdr[256];
+    if (!std::fgets(hdr, sizeof hdr, r->f)) return 0;
+    if (std::strncmp(hdr, "FRAME", 5) != 0) return 0;
+    size_t ysize = static_cast<size_t>(r->width) * r->height;
+    size_t csize = r->c420 ? ysize / 4 : ysize;
+    if (std::fread(out, 1, ysize, r->f) != ysize) return 0;
+    if (std::fread(out + ysize, 1, csize, r->f) != csize) return 0;
+    if (std::fread(out + ysize + csize, 1, csize, r->f) != csize) return 0;
+    return 1;
+}
+
 void y4m_close(Y4MReader* r) {
     if (!r) return;
     std::fclose(r->f);

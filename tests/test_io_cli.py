@@ -2,6 +2,7 @@
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -105,6 +106,59 @@ class TestNative:
             assert np.abs(got.astype(int) - f.astype(int)).mean() < 4.0
         assert r.read() is None
         r.close()
+
+    @pytest.mark.parametrize("subsampling", ["444", "420"])
+    def test_yuv_raw_planes_device_conversion(self, tmp_path, subsampling):
+        """read_yuv + on-device yuv_flat_to_bgr must match the native
+        reader's own host-side BGR conversion (same BT.601 constants and
+        rounding, native/framebuf.cpp y4m_read_bgr)."""
+        from video_stabilization_tpu.ops.image import yuv_flat_to_bgr
+
+        path = str(tmp_path / "clip.y4m")
+        w = VideoWriter(path, 30, (16, 24), subsampling=subsampling)
+        frames = [
+            np.random.default_rng(i).integers(0, 255, (16, 24, 3)).astype(np.uint8)
+            for i in range(2)
+        ]
+        for f in frames:
+            w.write(f)
+        w.close()
+
+        r_bgr = NativeY4MReader(path)
+        r_yuv = NativeY4MReader(path)
+        assert r_yuv.is_c420 == (subsampling == "420")
+        for _ in frames:
+            host = r_bgr.read()
+            raw = r_yuv.read_yuv()
+            assert raw is not None and raw.shape == (r_yuv.yuv_bytes,)
+            dev = np.asarray(yuv_flat_to_bgr(
+                jnp.asarray(raw), 16, 24, r_yuv.is_c420))
+            np.testing.assert_allclose(
+                dev.astype(int), host.astype(int), atol=1)
+        assert r_yuv.read_yuv() is None
+        r_bgr.close()
+        r_yuv.close()
+
+    def test_prefetching_yuv_source(self, tmp_path):
+        from video_stabilization_tpu.io.native import PrefetchingYUVSource
+
+        path = str(tmp_path / "clip.y4m")
+        w = VideoWriter(path, 30, (12, 16), subsampling="420")
+        for i in range(5):
+            w.write(np.full((12, 16, 3), i * 10, np.uint8))
+        w.close()
+
+        src = PrefetchingYUVSource(NativeY4MReader(path), depth=3)
+        assert src.is_c420
+        got = []
+        while True:
+            f = src.read()
+            if f is None:
+                break
+            got.append(f)
+        assert len(got) == 5
+        assert all(g.shape == (12 * 16 * 3 // 2,) for g in got)
+        src.close()
 
     def test_prefetching_source(self, tmp_path):
         path = str(tmp_path / "clip.y4m")

@@ -60,6 +60,10 @@ def _load() -> ctypes.CDLL:
     lib.y4m_fps.argtypes = [ctypes.c_void_p]
     lib.y4m_read_bgr.restype = ctypes.c_int
     lib.y4m_read_bgr.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.y4m_read_yuv.restype = ctypes.c_int
+    lib.y4m_read_yuv.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.y4m_is_c420.restype = ctypes.c_int
+    lib.y4m_is_c420.argtypes = [ctypes.c_void_p]
     lib.y4m_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -123,10 +127,60 @@ class NativeY4MReader(FrameSource):
         ok = self._lib.y4m_read_bgr(self._r, out.ctypes.data_as(ctypes.c_char_p))
         return out if ok else None
 
+    @property
+    def is_c420(self) -> bool:
+        return bool(self._lib.y4m_is_c420(self._r))
+
+    @property
+    def yuv_bytes(self) -> int:
+        h, w = self.frame_size
+        return h * w * 3 // 2 if self.is_c420 else h * w * 3
+
+    def read_yuv(self) -> Optional[np.ndarray]:
+        """One frame's raw packed Y|U|V planes (no host colorspace work) —
+        pair with ops.image.yuv_planes_to_bgr on device."""
+        out = np.empty((self.yuv_bytes,), np.uint8)
+        ok = self._lib.y4m_read_yuv(self._r, out.ctypes.data_as(ctypes.c_char_p))
+        return out if ok else None
+
     def close(self) -> None:
         if self._r:
             self._lib.y4m_close(self._r)
             self._r = None
+
+
+class PrefetchingYUVSource:
+    """Background-thread raw-YUV prefetcher: a decode thread freads packed
+    Y|U|V frames from a :class:`NativeY4MReader` into a native ring; ``read``
+    pops flat uint8 plane buffers.  The host never touches pixel values —
+    colorspace conversion happens on device (ops/image.py yuv_planes_to_bgr),
+    so the per-frame host cost is fread + two memcpys."""
+
+    def __init__(self, reader: NativeY4MReader, depth: int = 8):
+        self.reader = reader
+        self.frame_size = reader.frame_size
+        self.is_c420 = reader.is_c420
+        self.fps = reader.fps
+        nbytes = reader.yuv_bytes
+        self.ring = NativeFrameRing(depth, (nbytes,))
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _producer(self) -> None:
+        while True:
+            buf = self.reader.read_yuv()
+            if buf is None:
+                break
+            if not self.ring.push(buf):
+                break
+        self.ring.close()
+
+    def read(self) -> Optional[np.ndarray]:
+        return self.ring.pop()
+
+    def close(self) -> None:
+        self.ring.close()
+        self.reader.close()
 
 
 class PrefetchingFileSource(FrameSource):

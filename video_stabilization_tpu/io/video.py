@@ -169,14 +169,20 @@ class SimulatorSource(FrameSource):
 class VideoWriter:
     """Frame sink: mp4/avi via cv2, or dependency-free .y4m."""
 
-    def __init__(self, path: str, fps: float, frame_size: Tuple[int, int]):
+    def __init__(self, path: str, fps: float, frame_size: Tuple[int, int],
+                 subsampling: str = "444"):
         self.path = path
         self.fps = fps
         self.h, self.w = frame_size
         self._y4m = path.endswith(".y4m")
+        self._c420 = subsampling == "420"
+        if self._c420 and (self.h % 2 or self.w % 2):
+            raise ValueError("C420 output needs even frame dimensions")
         if self._y4m:
             self._f = open(path, "wb")
-            hdr = f"YUV4MPEG2 W{self.w} H{self.h} F{int(round(fps))}:1 Ip A1:1 C444\n"
+            chroma = "420" if self._c420 else "444"
+            hdr = (f"YUV4MPEG2 W{self.w} H{self.h} F{int(round(fps))}:1 "
+                   f"Ip A1:1 C{chroma}\n")
             self._f.write(hdr.encode())
         else:
             if not _HAS_CV2:
@@ -191,6 +197,11 @@ class VideoWriter:
             y = 0.299 * r + 0.587 * g + 0.114 * b
             u = 128.0 + 0.564 * (b - y)
             v = 128.0 + 0.713 * (r - y)
+            if self._c420:
+                # 2x2 box-average chroma (the native reader upsamples by
+                # nearest-repeat, native/framebuf.cpp y4m_read_bgr)
+                u = u.reshape(self.h // 2, 2, self.w // 2, 2).mean(axis=(1, 3))
+                v = v.reshape(self.h // 2, 2, self.w // 2, 2).mean(axis=(1, 3))
             self._f.write(b"FRAME\n")
             for plane in (y, u, v):
                 self._f.write(np.clip(plane, 0, 255).astype(np.uint8).tobytes())

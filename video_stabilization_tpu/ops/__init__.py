@@ -10,6 +10,8 @@ from video_stabilization_tpu.ops.image import (  # noqa: F401
     bgr_to_gray,
     resize_bilinear,
     resize_nearest,
+    yuv_flat_to_bgr,
+    yuv_planes_to_bgr,
 )
 from video_stabilization_tpu.ops.pallas_warp import warp_affine  # noqa: F401
 from video_stabilization_tpu.ops.warp import (  # noqa: F401

@@ -23,6 +23,46 @@ def bgr_to_gray(img: jax.Array) -> jax.Array:
     return 0.114 * b + 0.587 * g + 0.299 * r
 
 
+def yuv_planes_to_bgr(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Device-side YUV -> BGR uint8, the inverse of VideoWriter's forward
+    transform and bit-matched to the native reader's host conversion
+    (native/framebuf.cpp y4m_read_bgr: BT.601, +0.5 truncating round).
+
+    ``y`` is (..., H, W); ``u``/``v`` are full-res (..., H, W) or C420
+    (..., H/2, W/2) — subsampled chroma is upsampled by nearest/repeat,
+    matching the C++ ``(y/2, x/2)`` indexing.  Moving this off the host is
+    what makes the native file path decode-light: the host only freads
+    planes (io/native.py PrefetchingYUVSource) and ships 1.5 B/px (C420)
+    instead of 3 B/px BGR over H2D.
+    """
+    yf = y.astype(jnp.float32)
+    if u.shape[-1] != y.shape[-1]:
+        u = jnp.repeat(jnp.repeat(u, 2, axis=-1), 2, axis=-2)
+        v = jnp.repeat(jnp.repeat(v, 2, axis=-1), 2, axis=-2)
+        u = u[..., : y.shape[-2], : y.shape[-1]]
+        v = v[..., : y.shape[-2], : y.shape[-1]]
+    uf = u.astype(jnp.float32) - 128.0
+    vf = v.astype(jnp.float32) - 128.0
+    r = yf + 1.403 * vf
+    g = yf - 0.344 * uf - 0.714 * vf
+    b = yf + 1.773 * uf
+    bgr = jnp.stack([b, g, r], axis=-1)
+    return jnp.floor(jnp.clip(bgr, 0.0, 255.0) + 0.5).astype(jnp.uint8)
+
+
+def yuv_flat_to_bgr(buf: jax.Array, h: int, w: int, c420: bool) -> jax.Array:
+    """(..., nbytes) packed Y|U|V uint8 (NativeY4MReader.read_yuv layout)
+    -> (..., H, W, 3) BGR uint8 on device."""
+    ysize = h * w
+    csize = ysize // 4 if c420 else ysize
+    ch, cw = (h // 2, w // 2) if c420 else (h, w)
+    lead = buf.shape[:-1]
+    y = buf[..., :ysize].reshape(lead + (h, w))
+    u = buf[..., ysize:ysize + csize].reshape(lead + (ch, cw))
+    v = buf[..., ysize + csize:].reshape(lead + (ch, cw))
+    return yuv_planes_to_bgr(y, u, v)
+
+
 def _linear_weights(dst_size: int, src_size: int):
     scale = src_size / dst_size
     x = (jnp.arange(dst_size, dtype=jnp.float32) + 0.5) * scale - 0.5

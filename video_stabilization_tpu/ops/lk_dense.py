@@ -298,32 +298,59 @@ def lk_track_dense(
 
     t_cur = jnp.eye(3, dtype=jnp.float32)
 
-    # ---- coarse-to-fine dense search with global-similarity chaining -------
-    for level in range(n_levels, 0, -1):
+    # ---- coarse sweep ONLY at the top level -------------------------------
+    # The (2r+1)² shifted SAD/box stacks are the dense design's one
+    # HBM-heavy construct: at 360p level 1 they were ~80 MB of stack traffic
+    # per frame (~2.5 ms of the 3.9 ms offline step, benchmarks/
+    # other_ops_probe.py).  They are only *needed* where the motion is
+    # unknown — the coarsest level.  Finer levels start within ~1 px of the
+    # truth after the coarse similarity fit (level-l error = coarse fit
+    # error x 2^(n-l), and the grid fit is sub-0.5 px at the coarse level),
+    # which is deep inside the 21x21 Newton basin — so levels n-1..1 use one
+    # dense Newton round (pure stencils, ~12 level-sized maps instead of
+    # ~6 stack-sized ones) + the same grid refit.
+    with jax.named_scope(f"stage_lk_l{n_levels}"):
+        img_i = pyr_prev[n_levels]
+        img_j = pyr_next[n_levels]
+        scale = float(2 ** n_levels)
+        rng = max(2, min(8, min(img_i.shape) // 4))
+        flow, interior = _dense_residual_flow(img_i, img_j, rng, win)
+        ix, iy = scharr_xy(img_i)
+        me = _min_eig_dense(ix, iy, win)
+        t_cur = _grid_fit(
+            t_cur, flow, interior, me, scale,
+            config.min_eig_threshold, resid_px=max(1.5, rng / 2.0),
+            vote_range=rng + 1,
+        )
+
+    # ---- mid levels: warp + one dense Newton round + grid refit ------------
+    for level in range(n_levels - 1, 0, -1):
         with jax.named_scope(f"stage_lk_l{level}"):
             img_i = pyr_prev[level]
             img_j = pyr_next[level]
             scale = float(2 ** level)
-            rng = 8 if level == n_levels else 3
-            # a search range beyond ~1/4 of the level is meaningless and the
-            # (2r+1)² shift maps dominate compile size at tiny test shapes
-            rng = max(2, min(rng, min(img_i.shape) // 4))
-
-            if level == n_levels:
-                j_w = img_j                  # T = identity: warp-free
-            else:
-                hl = _scale_h(t_cur, scale)
-                j_w = warp_affine(
-                    img_j, _inv3x3(hl), border_value=0.0,
-                    projective_fallback=config.warp_fallback,
-                )
-            flow, interior = _dense_residual_flow(img_i, j_w, rng, win)
             ix, iy = scharr_xy(img_i)
+            gxx = _box_same(ix * ix, win)
+            gxy = _box_same(ix * iy, win)
+            gyy = _box_same(iy * iy, win)
+            det = gxx * gyy - gxy * gxy
             me = _min_eig_dense(ix, iy, win)
+            ok = (me > config.min_eig_threshold) & (det > 1e-12)
+            det_safe = jnp.where(ok, det, 1.0)
+            hl = _scale_h(t_cur, scale)
+            j_w = warp_affine(
+                img_j, _inv3x3(hl), border_value=0.0,
+                projective_fallback=config.warp_fallback,
+            )
+            r = j_w - img_i
+            bx = _box_same(r * ix, win)
+            by = _box_same(r * iy, win)
+            dx = -(gyy * bx - gxy * by) / det_safe
+            dy = -(gxx * by - gxy * bx) / det_safe
+            delta = jnp.where(ok[..., None], jnp.stack([dx, dy], axis=-1), 0.0)
             t_cur = _grid_fit(
-                t_cur, flow, interior, me, scale,
-                config.min_eig_threshold, resid_px=max(1.5, rng / 2.0),
-                vote_range=rng + 1,
+                t_cur, delta, ok, me, scale,
+                config.min_eig_threshold, resid_px=2.0, vote_range=3,
             )
 
     # ---- level-0: two dense Newton rounds with refit between ---------------
