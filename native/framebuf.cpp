@@ -145,6 +145,13 @@ Y4MReader* y4m_open(const char* path) {
         tok = std::strtok(nullptr, " \n");
     }
     if (r->width <= 0 || r->height <= 0) { std::fclose(f); delete r; return nullptr; }
+    // C420 with odd dimensions is rejected: every consumer (y4m_read_bgr's
+    // ci indexing, y4m_read_yuv's ysize/4 chroma size, and the device-side
+    // yuv_flat_to_bgr reshape) assumes chroma planes of exactly
+    // (H/2)*(W/2) == ysize/4 bytes, which only holds for even H and W.
+    if (r->c420 && ((r->width & 1) || (r->height & 1))) {
+        std::fclose(f); delete r; return nullptr;
+    }
     size_t ysize = static_cast<size_t>(r->width) * r->height;
     size_t csize = r->c420 ? ysize / 4 : ysize;
     r->ybuf = static_cast<uint8_t*>(std::malloc(ysize));
@@ -202,7 +209,8 @@ int y4m_is_c420(Y4MReader* r) { return r->c420; }
 // bytes) with NO colorspace conversion — pure fread.  The per-pixel float
 // YUV->BGR loop in y4m_read_bgr is ~10x the cost of the read itself at
 // 360p on this host; the TPU engine converts on device instead
-// (ops/image.py yuv_to_bgr), which also halves H2D bytes for C420.
+// (ops/image.py yuv_planes_to_bgr / yuv_flat_to_bgr), which also halves
+// H2D bytes for C420.
 int y4m_read_yuv(Y4MReader* r, uint8_t* out) {
     char hdr[256];
     if (!std::fgets(hdr, sizeof hdr, r->f)) return 0;

@@ -82,9 +82,14 @@ class LKConfig:
     #             referee for reference_compat drift benchmarks (slow).
     method: str = "dense"
     # Dense path: extra per-point Newton iterations at the exact subpixel
-    # corner positions after the dense pipeline (the dense maps are sampled
-    # bilinearly, which costs ~0.2 px; the polish recovers it for ~1 ms).
-    corner_polish_iters: int = 1
+    # corner positions after the dense pipeline.  Default 0: measured on the
+    # bench config-1 footage the polish improves corner drift vs analytic
+    # truth by only 0.012 px (0.896 vs 0.908, benchmarks/polish_probe.py)
+    # while its one-hot patch extraction costs ~1.2 ms/frame — 45% of the
+    # config-2 offline step.  The independent-motion saturation gate it also
+    # provided is preserved by thresholding the sampled final-round dense
+    # delta (ops/lk_dense.py).
+    corner_polish_iters: int = 0
     # Guard the dense path's internal warps with the projective fallback
     # (see ops/pallas_warp.py); stream-batched configs disable it.
     warp_fallback: bool = True

@@ -179,7 +179,12 @@ class PrefetchingYUVSource:
         return self.ring.pop()
 
     def close(self) -> None:
+        # Closing the ring makes the producer's next push fail; JOIN the
+        # producer before freeing the native reader, otherwise y4m_close()
+        # can run while the thread is still inside read_yuv()'s fread
+        # (use-after-free when the consumer stops before EOF).
         self.ring.close()
+        self._thread.join()
         self.reader.close()
 
 
@@ -208,5 +213,7 @@ class PrefetchingFileSource(FrameSource):
         return self.ring.pop()
 
     def close(self) -> None:
+        # Same join-before-free ordering as PrefetchingYUVSource.close().
         self.ring.close()
+        self._thread.join()
         self.inner.close()

@@ -53,6 +53,10 @@ def yuv_planes_to_bgr(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
 def yuv_flat_to_bgr(buf: jax.Array, h: int, w: int, c420: bool) -> jax.Array:
     """(..., nbytes) packed Y|U|V uint8 (NativeY4MReader.read_yuv layout)
     -> (..., H, W, 3) BGR uint8 on device."""
+    if c420 and (h % 2 or w % 2):
+        # csize = ysize//4 below only equals (h//2)*(w//2) for even dims;
+        # the native reader (framebuf.cpp y4m_open) rejects these too.
+        raise ValueError(f"C420 requires even dimensions, got {h}x{w}")
     ysize = h * w
     csize = ysize // 4 if c420 else ysize
     ch, cw = (h // 2, w // 2) if c420 else (h, w)

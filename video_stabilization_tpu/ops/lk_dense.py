@@ -30,10 +30,13 @@ finite.  **Independent motion caveat**: the dense chain estimates ONE global
 similarity, so points on independently moving objects are *snapped onto the
 global motion* — unlike the reference's per-point LK they would come back as
 perfect inliers, silently moving outlier rejection out of RANSAC.  Two
-gates restore per-point semantics: (a) the per-point Newton polish drops
-points whose correction step saturates its trust clip (the dense estimate
-was wrong by > the clip — a moving object), and (b) points whose sampled
-patch residual is far above the valid-point cohort's median are dropped
+gates restore per-point semantics: (a) points whose sampled final-round
+dense delta exceeds a 1.5 px trust radius are dropped (after two Newton
+rounds a global-motion point has near-zero residual delta; a large one
+means the point's true motion differs from the global similarity — a
+moving object; with ``corner_polish_iters > 0`` the per-point polish adds
+its saturating-step test on top), and (b) points whose sampled patch
+residual is far above the valid-point cohort's median are dropped
 (large-but-sub-clip independent motion and occlusions).  Points moving
 within ~1 px of the global motion remain inliers; for true per-point
 tracking of general dynamic scenes use ``LKConfig(method="sweep")``.
@@ -56,19 +59,37 @@ from video_stabilization_tpu.ops.pallas_warp import warp_affine
 from video_stabilization_tpu.ops.warp import _inv3x3
 
 
-def _box_same(x: jax.Array, win: int) -> jax.Array:
-    """win x win box sum, zero-padded SAME, via cumsum (O(1) per pixel)."""
+def _band(n: int, win: int) -> jax.Array:
+    """(n, n) bf16 banded-ones matrix: band[i, j] = 1 iff j is inside the
+    length-``win`` window centered (win//2 left taps) at i — multiplying by
+    it computes a zero-padded SAME box sum along that axis."""
     h = win // 2
-    for axis in (-2, -1):
-        pads = [(0, 0)] * x.ndim
-        pads[axis] = (h + 1, h)
-        cs = jnp.cumsum(jnp.pad(x, pads), axis=axis)
-        n = x.shape[axis]
-        x = (
-            jax.lax.slice_in_dim(cs, win, n + win, axis=axis)
-            - jax.lax.slice_in_dim(cs, 0, n, axis=axis)
-        )
-    return x
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    return ((j >= i - h) & (j <= i - h + win - 1)).astype(jnp.bfloat16)
+
+
+def _box_same(x: jax.Array, win: int) -> jax.Array:
+    """win x win box sum, zero-padded SAME, as two banded-ones matmuls.
+
+    A box filter is a matmul with a banded all-ones matrix per axis — which
+    puts the aggregation on the MXU (f32 accumulate) instead of the VPU.
+    The round-3 cumsum formulation was O(1) FLOPs per pixel but lowered to
+    strided-layout scan fusions running at ~32 GB/s (~4.4 ms/chunk for the
+    level-0 maps alone, benchmarks/other_ops_probe.py); the banded matmuls
+    spend ~25x the FLOPs to finish ~15x faster.  Inputs round to bf16: the
+    band is exact 0/1 and the 0.4% element rounding averages out over the
+    441-tap window (measured: no corner-drift change at 1e-3 px resolution).
+    """
+    hgt, wid = x.shape[-2], x.shape[-1]
+    t = jnp.einsum(
+        "ij,...jw->...iw", _band(hgt, win), x.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.einsum(
+        "...iw,wk->...ik", t.astype(jnp.bfloat16), _band(wid, win).T,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _dense_residual_flow(
@@ -83,22 +104,22 @@ def _dense_residual_flow(
     h, w = img_i.shape
     side = 2 * srange + 1
     jp = jnp.pad(img_j, srange)
-    b2p = _box_same(jp * jp, win)           # box(J²) once; shifts commute
 
-    # Stack ALL side² shifted cross-products and box-filter the stack with
-    # ONE cumsum pair: the round-2 per-shift loop emitted side² separate box
-    # filters (~1500 tiny HLOs at side=17 — op-dispatch-bound on a 45x80
-    # level); a (side², H, W) batch keeps the same FLOPs in ~10 large ops.
-    cross = jnp.stack([
+    # Stack ALL side² shifted frames and box-filter the SQUARED DIFFERENCE
+    # stack with one banded-matmul pair.  The round-3 expansion
+    # ``box(J²) − 2·box(J·I) + box(I²)`` reused one box(J²) map across
+    # shifts, but it cancels catastrophically under the bf16 MXU box filter
+    # (each term ~3e7 with value-relative rounding → ±2e5 error swamping the
+    # ~3e4 inter-shift SSD signal on smooth regions, sending the argmin
+    # random).  Boxing (J_s − I)² directly is cancellation-free — errors are
+    # relative to the local SSD itself, and a perfect match is an exact 0 —
+    # and it is also cheaper: one stacked box filter instead of box(cross)
+    # stacked + box(J²) + box(I²).
+    shifted = jnp.stack([
         jax.lax.slice(jp, (sy, sx), (sy + h, sx + w))
         for sy in range(side) for sx in range(side)
-    ]) * img_i[None]                         # (side², H, W)
-    b2 = jnp.stack([
-        jax.lax.slice(b2p, (sy, sx), (sy + h, sx + w))
-        for sy in range(side) for sx in range(side)
-    ])
-    i2b = _box_same(img_i * img_i, win)
-    surf = b2 - 2.0 * _box_same(cross, win) + i2b[None]   # (side², H, W)
+    ])                                       # (side², H, W)
+    surf = _box_same(jnp.square(shifted - img_i[None]), win)
 
     amin = jnp.argmin(surf, axis=0)
     ay = amin // side
@@ -323,34 +344,51 @@ def lk_track_dense(
             vote_range=rng + 1,
         )
 
-    # ---- mid levels: warp + one dense Newton round + grid refit ------------
+    # ---- mid levels: warp + residual estimate + grid refit ------------------
+    # The FIRST mid level (n-1) uses a small +-3 dense residual sweep instead
+    # of a Newton round: if the coarse-level similarity fit failed (low
+    # texture at the tiny top level -> identity carried down), Newton can only
+    # recover motion inside its basin, while the sweep recovers up to
+    # +-3*2^(n-1) px regardless of image smoothness (round-3 advisor
+    # robustness finding).  It runs unconditionally — a lax.cond gate would
+    # execute both branches under the offline/stream vmaps anyway, and the
+    # sweep costs ~0.1 ms/chunk at 360p.  Deeper mid levels start well inside
+    # the Newton basin and keep the cheap Newton round.
     for level in range(n_levels - 1, 0, -1):
         with jax.named_scope(f"stage_lk_l{level}"):
             img_i = pyr_prev[level]
             img_j = pyr_next[level]
             scale = float(2 ** level)
             ix, iy = scharr_xy(img_i)
-            gxx = _box_same(ix * ix, win)
-            gxy = _box_same(ix * iy, win)
-            gyy = _box_same(iy * iy, win)
-            det = gxx * gyy - gxy * gxy
             me = _min_eig_dense(ix, iy, win)
-            ok = (me > config.min_eig_threshold) & (det > 1e-12)
-            det_safe = jnp.where(ok, det, 1.0)
             hl = _scale_h(t_cur, scale)
             j_w = warp_affine(
                 img_j, _inv3x3(hl), border_value=0.0,
                 projective_fallback=config.warp_fallback,
             )
-            r = j_w - img_i
-            bx = _box_same(r * ix, win)
-            by = _box_same(r * iy, win)
-            dx = -(gyy * bx - gxy * by) / det_safe
-            dy = -(gxx * by - gxy * bx) / det_safe
-            delta = jnp.where(ok[..., None], jnp.stack([dx, dy], axis=-1), 0.0)
+            if level == n_levels - 1:
+                delta, ok = _dense_residual_flow(img_i, j_w, 3, win)
+                ok = ok & (me > config.min_eig_threshold)
+                vote_range = 4
+            else:
+                gxx = _box_same(ix * ix, win)
+                gxy = _box_same(ix * iy, win)
+                gyy = _box_same(iy * iy, win)
+                det = gxx * gyy - gxy * gxy
+                ok = (me > config.min_eig_threshold) & (det > 1e-12)
+                det_safe = jnp.where(ok, det, 1.0)
+                r = j_w - img_i
+                bx = _box_same(r * ix, win)
+                by = _box_same(r * iy, win)
+                dx = -(gyy * bx - gxy * by) / det_safe
+                dy = -(gxx * by - gxy * bx) / det_safe
+                delta = jnp.where(
+                    ok[..., None], jnp.stack([dx, dy], axis=-1), 0.0)
+                vote_range = 3
             t_cur = _grid_fit(
                 t_cur, delta, ok, me, scale,
-                config.min_eig_threshold, resid_px=2.0, vote_range=3,
+                config.min_eig_threshold, resid_px=2.0,
+                vote_range=vote_range,
             )
 
     # ---- level-0: two dense Newton rounds with refit between ---------------
@@ -396,6 +434,15 @@ def lk_track_dense(
 
     new_pts = _apply_h(t_cur, points + d_pts)
 
+    # Independent-motion gate, dense form: after two Newton rounds (with a
+    # refit between), points following the GLOBAL motion have near-zero
+    # residual delta; a large sampled final-round delta means the point's
+    # true motion differs from the global similarity by more than the Newton
+    # correction already applied — an independently moving object the dense
+    # chain would otherwise snap onto the global motion (module docstring
+    # gate (a)).  Same 1.5 px trust radius as the per-point polish clip.
+    saturated = jnp.max(jnp.abs(d_pts), axis=-1) > 1.5
+
     # ---- optional per-point subpixel polish ---------------------------------
     # The dense maps are box-filtered at integer centers and sampled
     # bilinearly; a couple of classic per-point Newton iterations at the
@@ -423,7 +470,6 @@ def lk_track_dense(
         pdet_s = jnp.where(p_ok, pdet, 1.0)
 
         v = new_pts
-        saturated = jnp.zeros((points.shape[0],), bool)
         for _ in range(config.corner_polish_iters):
             jpatch = _extract_bilinear_mxu(img_j_p, v - half + pad, win)
             r = jpatch - ipatch
@@ -445,8 +491,6 @@ def lk_track_dense(
             v = v + jnp.where(p_ok[:, None], step, 0.0)
         new_pts = v
         polish_scope.__exit__(None, None, None)
-    else:
-        saturated = jnp.zeros((points.shape[0],), bool)
     in_final = (
         (new_pts[:, 0] >= 0.0) & (new_pts[:, 1] >= 0.0)
         & (new_pts[:, 0] < w0) & (new_pts[:, 1] < h0)
