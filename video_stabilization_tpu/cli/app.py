@@ -14,6 +14,7 @@ the GUI-only reference cannot do.
 from __future__ import annotations
 
 import collections
+import os
 import sys
 import time
 
@@ -158,6 +159,11 @@ def run(cfg: AppConfig) -> int:
         writer = VideoWriter(cfg.output, fps, (fh, fw))
 
     display = cfg.display
+    if display and not os.environ.get("DISPLAY") and sys.platform != "darwin":
+        # cv2's Qt backend abort()s (uncatchable) when it can't reach an X
+        # server; don't even try without one
+        print("[app] no $DISPLAY; running headless", file=sys.stderr)
+        display = False
     if display:
         try:
             import cv2

@@ -55,7 +55,10 @@ class GFTTConfig:
     # Corner-selection method (ops/gftt.py): "cell" = parallel cell-based
     # suppression (fastest); "cv2exact" = OpenCV's greedy response-ordered
     # min-distance suppression, reproduced exactly via a parallel MIS
-    # fixpoint (reference_compat drift benchmarks force this).
+    # fixpoint (decision-exact, not float-ULP-exact); "host" = the in-step
+    # detector is skipped and the host injects ops/gftt_host.py's
+    # element-exact numpy replica into the carry (requires the cv2exact
+    # RANSAC host-estimator split — the drift-referee configuration).
     selection: str = "cell"
     # cv2exact: NMS survivors considered by the greedy pass (top-M by
     # response).  Exact iff the image has <= M survivors; 6144 covers 360p
@@ -110,6 +113,14 @@ class RansacConfig:
     # "similarity" / "affine" / "homography" enable the richer fits (the
     # reference carries the homography path disabled, :227-229).
     motion_model: str = "rigid"
+    # "vmapped":  the TPU-native batched-hypothesis sweep above (default).
+    # "cv2exact": bit-exact replica of cv2.estimateAffinePartial2D's RANSAC
+    #             (motion/cv2_ransac.py — OpenCV's MWC RNG hypothesis stream,
+    #             sequential early exit, LM polish), run as a HOST estimator
+    #             stage between two jitted halves of the step (the axon PJRT
+    #             plugin has no host-callback support).  Fidelity referee for
+    #             reference_compat drift benchmarks; rigid model only.
+    method: str = "vmapped"
 
 
 @dataclasses.dataclass(frozen=True)

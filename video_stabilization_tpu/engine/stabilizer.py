@@ -54,7 +54,9 @@ from video_stabilization_tpu.motion.homography import (
 )
 from video_stabilization_tpu.motion.ransac import estimate_similarity_ransac
 from video_stabilization_tpu.ops.gftt import good_features_to_track
-from video_stabilization_tpu.ops.image import bgr_to_gray, resize_bilinear
+from video_stabilization_tpu.ops.image import (
+    bgr_to_gray, gray_u8_cv2exact, resize_bilinear,
+)
 from video_stabilization_tpu.ops.lk import lk_track
 from video_stabilization_tpu.ops.pyramid import build_pyramid
 from video_stabilization_tpu.ops.pallas_warp import warp_affine
@@ -114,8 +116,17 @@ def stabilize_step(
     carry: EngineCarry,
     frame: jax.Array,
     config: StabilizerConfig,
+    ext_motion=None,
 ) -> Tuple[EngineCarry, Tuple[jax.Array, jax.Array]]:
-    """Process one (Hf, Wf, C) uint8 BGR frame; see module docstring."""
+    """Process one (Hf, Wf, C) uint8 BGR frame; see module docstring.
+
+    ``ext_motion``: optional ``(h (3,3) f32, valid bool, n_inliers i32)``
+    inter-frame similarity computed by a HOST estimator stage (the cv2exact
+    RANSAC replica, motion/cv2_ransac.py) — when given, the in-step LK/RANSAC
+    stages are skipped and the de-scale (reference src/stabilizer.cpp:261-267)
+    applies to the external estimate.  Used by the reference-compat fidelity
+    path; axon PJRT has no host callbacks, so the split is explicit.
+    """
     w = config.total_window
     future = config.future_frames
     wh, ww = config.working_size
@@ -130,26 +141,40 @@ def stabilize_step(
     # traces attribute device time to the reference's printTimings taxonomy —
     # utils/stage_profile.py aggregates them)
     with jax.named_scope("stage_gray_pyramid"):
-        # resize BEFORE gray (reference order, src/stabilizer.cpp:1170-1175):
-        # the strided-slice resize then touches 1/9th of the 1080p frame and
-        # no full-res float gray is ever materialized (the two linear ops
-        # commute exactly for channel-independent bilinear weights)
-        small = resize_bilinear(frame.astype(jnp.float32), wh, ww)
-        gray = bgr_to_gray(small)
+        if config.reference_compat:
+            # BIT-EXACT u8 gray (cv2's fixed-point resize + cvtColor,
+            # ops/image.py gray_u8_cv2exact): a ±1 LSB gray difference
+            # perturbs GFTT responses/LK enough to desynchronize the
+            # cv2exact RANSAC hypothesis stream downstream
+            gray = gray_u8_cv2exact(frame, wh, ww)
+        else:
+            # resize BEFORE gray (reference order, src/stabilizer.cpp:
+            # 1170-1175): the strided-slice resize touches 1/9th of the
+            # 1080p frame and no full-res float gray is ever materialized
+            # (the two linear ops commute exactly for channel-independent
+            # bilinear weights)
+            small = resize_bilinear(frame.astype(jnp.float32), wh, ww)
+            gray = bgr_to_gray(small)
         pyr = build_pyramid(gray, config.lk.pyramid_levels)
 
     # -- 2-3. track + estimate inter-frame motion ----------------------------
-    with jax.named_scope("stage_lk"):
-        tracked = lk_track(carry.pyr_prev, pyr, carry.corners_prev,
-                           carry.corners_mask, config.lk)
-    with jax.named_scope("stage_fit"):
-        ransac, t_rigid = _fit_inter_frame(
-            carry.corners_prev, tracked.points, tracked.status, k_ransac,
-            config, center,
-        )
+    if ext_motion is None:
+        with jax.named_scope("stage_lk"):
+            tracked = lk_track(carry.pyr_prev, pyr, carry.corners_prev,
+                               carry.corners_mask, config.lk)
+        with jax.named_scope("stage_fit"):
+            ransac, t_rigid = _fit_inter_frame(
+                carry.corners_prev, tracked.points, tracked.status, k_ransac,
+                config, center,
+            )
+        fit_valid = ransac.valid
+        n_inliers = ransac.num_inliers
+    else:
+        # already rigid: the host stage de-scaled in float64
+        t_rigid, fit_valid, n_inliers = ext_motion
     is_first = carry.n == 0
     have_prev = carry.n >= 1
-    t_new = jnp.where(have_prev & ransac.valid, t_rigid, jnp.eye(3))
+    t_new = jnp.where(have_prev & fit_valid, t_rigid, jnp.eye(3))
 
     # -- 4. ring updates ------------------------------------------------------
     n_after = carry.n + 1
@@ -333,16 +358,27 @@ def stabilize_step(
     out_valid = jnp.ones((), bool)  # a frame is always emitted (app may buffer)
 
     # -- 10. features for the next frame --------------------------------------
-    if config.reference_compat and config.gftt.selection != "cv2exact":
-        # drift-vs-reference parity needs cv2's exact greedy corner list
-        # (corner-set selection was the dominant drift term, VERDICT r2)
-        import dataclasses
+    if config.gftt.selection == "host":
+        # the host injects ops/gftt_host.py's element-exact corner list into
+        # the carry after this step (Stabilizer.stabilize_frame, cv2exact
+        # split) — emit empty lanes instead of tracing the jitted detector
+        from video_stabilization_tpu.ops.gftt import Corners
 
-        gftt_cfg = dataclasses.replace(config.gftt, selection="cv2exact")
+        nf = config.gftt.max_features
+        corners = Corners(points=jnp.zeros((nf, 2), jnp.float32),
+                          response=jnp.zeros((nf,), jnp.float32),
+                          mask=jnp.zeros((nf,), bool))
     else:
-        gftt_cfg = config.gftt
-    with jax.named_scope("stage_gftt"):
-        corners = good_features_to_track(gray, gftt_cfg)
+        if config.reference_compat and config.gftt.selection != "cv2exact":
+            # drift-vs-reference parity needs cv2's exact greedy corner list
+            # (corner-set selection was the dominant drift term, VERDICT r2)
+            import dataclasses
+
+            gftt_cfg = dataclasses.replace(config.gftt, selection="cv2exact")
+        else:
+            gftt_cfg = config.gftt
+        with jax.named_scope("stage_gftt"):
+            corners = good_features_to_track(gray, gftt_cfg)
 
     new_carry = EngineCarry(
         frames=frames,
@@ -359,7 +395,7 @@ def stabilize_step(
         sift_ref=sift_ref,
         lock_prev_h=lock_prev_h,
         last_h=h_stabilize,
-        last_inliers=ransac.num_inliers,
+        last_inliers=n_inliers,
         last_lock_matches=lock_matches,
         key=key,
     )
@@ -382,6 +418,40 @@ def make_scan_fn(config: StabilizerConfig) -> Callable:
         return jax.lax.scan(step, carry, frames)
 
     return jax.jit(scan_fn, donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=32)
+def make_track_fn(config: StabilizerConfig) -> Callable:
+    """Jitted (carry, frame) -> (tracked_points, status): the gray/pyramid/LK
+    prefix of the step, for the host-estimator (cv2exact RANSAC) split.  The
+    main step re-derives gray/pyramid itself — the duplicate is confined to
+    the fidelity path where exactness, not speed, is the point."""
+    wh, ww = config.working_size
+
+    def track(carry: EngineCarry, frame: jax.Array):
+        if config.reference_compat:
+            gray = gray_u8_cv2exact(frame, wh, ww)
+        else:
+            small = resize_bilinear(frame.astype(jnp.float32), wh, ww)
+            gray = bgr_to_gray(small)
+        pyr = build_pyramid(gray, config.lk.pyramid_levels)
+        tracked = lk_track(carry.pyr_prev, pyr, carry.corners_prev,
+                           carry.corners_mask, config.lk)
+        return tracked.points, tracked.status
+
+    return jax.jit(track)
+
+
+@functools.lru_cache(maxsize=32)
+def make_step_ext_fn(config: StabilizerConfig) -> Callable:
+    """Jitted (carry, frame, ext_motion) -> (carry, (output, valid)) — the
+    step with the inter-frame similarity supplied by a host estimator stage
+    (see ``stabilize_step``'s ``ext_motion``)."""
+
+    def step_ext(carry, frame, ext_motion):
+        return stabilize_step(carry, frame, config, ext_motion)
+
+    return jax.jit(step_ext, donate_argnums=0)
 
 
 @functools.lru_cache(maxsize=32)
@@ -414,7 +484,14 @@ class Stabilizer:
 
     def __init__(self, config: StabilizerConfig, mode: StabilizationMode = StabilizationMode.GLOBAL_SMOOTHING, seed: int = 0):
         self.config = config
-        self._step = make_step_fn(config)
+        if config.ransac.method == "cv2exact":
+            if config.ransac.motion_model != "rigid":
+                raise ValueError("cv2exact RANSAC supports the rigid model only")
+            self._step = make_step_ext_fn(config)
+            self._track = make_track_fn(config)
+        else:
+            self._step = make_step_fn(config)
+            self._track = None
         self.carry = init_carry(config, int(mode), jax.random.key(seed))
 
     def set_stabilization_mode(self, mode: StabilizationMode) -> None:
@@ -444,7 +521,47 @@ class Stabilizer:
     def stabilize_frame(self, frame) -> "jax.Array":
         """Feed one (Hf, Wf, C) uint8 BGR frame; returns the stabilized
         (delayed) output frame."""
-        self.carry, (output, _) = self._step(self.carry, jnp.asarray(frame))
+        f = jnp.asarray(frame)
+        if self._track is not None:
+            # host estimator stage: jitted track prefix -> bit-exact
+            # cv2.estimateAffinePartial2D replica on host -> jitted step
+            import numpy as np
+
+            from video_stabilization_tpu.motion.cv2_ransac import (
+                estimate_rigid_cv2_host,
+            )
+
+            pts, status = self._track(self.carry, f)
+            src = np.asarray(self.carry.corners_prev, np.float32)
+            wh, ww = self.config.working_size
+            h, valid, n_inl = estimate_rigid_cv2_host(
+                src, np.asarray(pts, np.float32), np.asarray(status, bool),
+                center=(ww / 2.0, wh / 2.0),
+                min_points=self.config.ransac.min_points,
+                ransac_reproj_threshold=self.config.ransac.inlier_threshold,
+            )
+            ext = (jnp.asarray(h, jnp.float32), jnp.asarray(valid),
+                   jnp.asarray(n_inl, jnp.int32))
+            self.carry, (output, _) = self._step(self.carry, f, ext)
+            if self.config.gftt.selection == "host":
+                # element-exact corner stage (ops/gftt_host.py): inject cv2's
+                # exact list so the next frame's hypothesis stream stays
+                # synchronized with the reference pipeline
+                from video_stabilization_tpu.ops.gftt_host import (
+                    detect_corners_host,
+                )
+
+                min_dist = (self.config.gftt.min_distance_at_720
+                            * (wh / 720.0))
+                pts_np, mask_np = detect_corners_host(
+                    np.asarray(frame, np.uint8), (wh, ww),
+                    self.config.gftt.max_features,
+                    self.config.gftt.quality_level, min_dist)
+                self.carry = self.carry._replace(
+                    corners_prev=jnp.asarray(pts_np),
+                    corners_mask=jnp.asarray(mask_np))
+            return output
+        self.carry, (output, _) = self._step(self.carry, f)
         return output
 
     def stabilize_clip(self, frames) -> "jax.Array":

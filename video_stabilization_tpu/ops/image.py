@@ -67,6 +67,59 @@ def yuv_flat_to_bgr(buf: jax.Array, h: int, w: int, c420: bool) -> jax.Array:
     return yuv_planes_to_bgr(y, u, v)
 
 
+def gray_u8_cv2exact(frame_u8: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """(..., H, W, 3) uint8 BGR -> (..., out_h, out_w) float32 holding the
+    BIT-EXACT integer gray the reference pipeline computes
+    (src/stabilizer.cpp:1170-1175: cv::resize INTER_LINEAR then cv::cvtColor
+    BGR2GRAY, both on uint8):
+
+    - resize: cv2's fixed-point INTER_LINEAR at integer downscale factors k
+      reduces exactly to lattice sampling — odd k is a pure strided slice at
+      offset (k-1)/2; even k averages the two center taps per axis with one
+      final round ``(sum + d/2) >> log2(d)`` (the 11-bit coefficient pairs
+      are (2048,0) / (1024,1024)).  Verified element-exact against the
+      installed cv2 for k=2 and k=3.
+    - gray: Y = (3735*B + 19235*G + 9798*R + 16384) >> 15 — the 15-bit
+      fixed-point BT.601 weights of this cv2 build (probed element-exact;
+      the classic 14-bit 1868/9617/4899 table differs by 1 LSB on ~0.3% of
+      pixels).
+
+    Used by ``reference_compat`` mode: a ±1 gray LSB vs cv2 perturbs corner
+    responses enough to permute the response-sorted GFTT list, which
+    desynchronizes the (bit-exact) cv2 RANSAC hypothesis stream downstream.
+    Only integer downscale ratios are supported (the compat/drift configs
+    are 3x and 2x); general ratios raise.
+    """
+    h, w = frame_u8.shape[-3], frame_u8.shape[-2]
+    if out_h > h or h % out_h or out_w > w or w % out_w:
+        raise ValueError(
+            f"gray_u8_cv2exact supports integer downscales only, got "
+            f"{h}x{w} -> {out_h}x{out_w}")
+    x = frame_u8.astype(jnp.int32)
+    shift = 0
+    for axis, k, size in ((-3, h // out_h, out_h), (-2, w // out_w, out_w)):
+        if k == 1:
+            continue
+        ax = axis % x.ndim
+        limit = (size - 1) * k + 1
+        if k % 2 == 1:
+            start = (k - 1) // 2
+            x = jax.lax.slice_in_dim(x, start, start + limit, stride=k, axis=ax)
+        else:
+            a = jax.lax.slice_in_dim(x, k // 2 - 1, k // 2 - 1 + limit,
+                                     stride=k, axis=ax)
+            b = jax.lax.slice_in_dim(x, k // 2, k // 2 + limit, stride=k,
+                                     axis=ax)
+            x = a + b
+            shift += 1
+    if shift:
+        x = (x + (1 << (shift - 1))) >> shift          # one final round, like
+        # cv2's single >>22 descale after both separable fixed-point passes
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    gray = (3735 * b + 19235 * g + 9798 * r + (1 << 14)) >> 15
+    return gray.astype(jnp.float32)
+
+
 def _linear_weights(dst_size: int, src_size: int):
     scale = src_size / dst_size
     x = (jnp.arange(dst_size, dtype=jnp.float32) + 0.5) * scale - 0.5

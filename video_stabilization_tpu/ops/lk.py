@@ -188,8 +188,11 @@ def lk_track_sweep(
     valid = mask.astype(bool)
 
     # Pad every level so regions/windows may overhang the image (matches
-    # cv::buildOpticalFlowPyramid's reflected winSize border).
-    pad = int(half) + srange_top + 3
+    # cv::buildOpticalFlowPyramid's reflected winSize border).  cv2exact
+    # needs win+2: cv2 tracks windows overhanging by up to winSize
+    # (lkpyramid.cpp bounds-checks iprevPt against [-winSize, cols)).
+    pad = (win + 2) if cv2exact else (int(half) + srange_top + 3)
+    pyr_prev_raw = pyr_prev
     pyr_prev = [jnp.pad(p, pad, mode="reflect") for p in pyr_prev]
     pyr_next = [jnp.pad(p, pad, mode="reflect") for p in pyr_next]
 
@@ -207,23 +210,64 @@ def lk_track_sweep(
         rng = srange_top if level == n_levels else srange
 
         # template patches + structure tensor (win+2 for gradients)
-        tl_i = p_l - (half + 1.0) + pad
-        ipatch_big = _extract_patches(img_i, tl_i, win + 2)
-        ix, iy = _scharr_patches(ipatch_big)
-        ipatch = ipatch_big[:, 1:-1, 1:-1]
+        if cv2exact:
+            # cv2 computes Scharr derivatives on the UNPADDED level and
+            # zero-pads them (buildOpticalFlowPyramid: image border is
+            # REFLECT_101, derivative border is BORDER_CONSTANT zero —
+            # lkpyramid.cpp copyMakeBorder of derivIBuf).  Deriving from a
+            # reflect-padded patch instead flips the flow of border points
+            # by up to ~1 px — the dominant drift-vs-reference tail.
+            from video_stabilization_tpu.ops.gradients import scharr_xy
+
+            ix_map, iy_map = scharr_xy(pyr_prev_raw[level])
+            ix_map = jnp.pad(ix_map, pad)                  # zeros outside
+            iy_map = jnp.pad(iy_map, pad)
+            tl_p = p_l - half + pad
+            ipatch = _extract_patches(img_i, tl_p, win)
+            ix = _extract_patches(ix_map, tl_p, win)
+            iy = _extract_patches(iy_map, tl_p, win)
+        else:
+            tl_i = p_l - (half + 1.0) + pad
+            ipatch_big = _extract_patches(img_i, tl_i, win + 2)
+            ix, iy = _scharr_patches(ipatch_big)
+            ipatch = ipatch_big[:, 1:-1, 1:-1]
 
         gxx = jnp.sum(ix * ix, axis=(1, 2))
         gxy = jnp.sum(ix * iy, axis=(1, 2))
         gyy = jnp.sum(iy * iy, axis=(1, 2))
         det = gxx * gyy - gxy * gxy
-        min_eig = (0.5 * (gxx + gyy)
-                   - jnp.sqrt(jnp.square(0.5 * (gxx - gyy)) + gxy * gxy)) / (win * win)
-        good_tensor = (min_eig > config.min_eig_threshold) & (det > 1e-12)
+        if cv2exact:
+            # cv2's A matrix carries raw 3/10/3 Scharr ints x FLT_SCALE
+            # (1/2^20); scharr_xy is /32-normalized, so A_cv = g/1024.  The
+            # minEigThreshold and D >= FLT_EPSILON gates compare in THAT
+            # scale (lkpyramid.cpp:345-358).
+            flt = 1.0 / 1024.0
+            min_eig = (0.5 * (gxx + gyy)
+                       - jnp.sqrt(jnp.square(0.5 * (gxx - gyy)) + gxy * gxy)
+                       ) * flt / (win * win)
+            det_cv = det * flt * flt
+            good_tensor = ((min_eig >= config.min_eig_threshold)
+                           & (det_cv >= jnp.float32(1.1920929e-07)))
+        else:
+            min_eig = (0.5 * (gxx + gyy)
+                       - jnp.sqrt(jnp.square(0.5 * (gxx - gyy)) + gxy * gxy)) / (win * win)
+            good_tensor = (min_eig > config.min_eig_threshold) & (det > 1e-12)
 
-        in_bounds = (
-            (p_l[:, 0] >= 0.0) & (p_l[:, 1] >= 0.0)
-            & (p_l[:, 0] <= w_l - 1.0) & (p_l[:, 1] <= h_l - 1.0)
-        )
+        if cv2exact:
+            # cv2 loses a point only when the window floor leaves
+            # [-winSize, cols) x [-winSize, rows) — windows may overhang
+            # the image by up to winSize (template AND tracked window)
+            ifl_i = jnp.floor(p_l - half)
+            ifl_j = jnp.floor(p_l + g - half)
+            def _inb(ifl):
+                return ((ifl[:, 0] >= -win) & (ifl[:, 0] < w_l)
+                        & (ifl[:, 1] >= -win) & (ifl[:, 1] < h_l))
+            in_bounds = _inb(ifl_i) & _inb(ifl_j)
+        else:
+            in_bounds = (
+                (p_l[:, 0] >= 0.0) & (p_l[:, 1] >= 0.0)
+                & (p_l[:, 0] <= w_l - 1.0) & (p_l[:, 1] <= h_l - 1.0)
+            )
         level_ok = status & good_tensor & in_bounds
         if level == n_levels:
             min_eig_ok = good_tensor
@@ -248,7 +292,7 @@ def lk_track_sweep(
             inv11 = gxx / det_safe
 
             def polish(carry, _):
-                v_cur, done, err_prev = carry
+                v_cur, done, err_prev, prev_delta = carry
                 tl = p_l + g + v_cur - half + pad
                 jpatch = _extract_patches(img_j, tl, win)
                 r = jpatch - ipatch
@@ -258,14 +302,29 @@ def lk_track_sweep(
                 dy = -(inv01 * bx + inv11 * by)
                 delta = jnp.stack([dx, dy], axis=-1)
                 act = level_ok & ~done
-                v_new = v_cur + jnp.where(act[:, None], delta, 0.0)
-                small = jnp.sum(delta * delta, axis=-1) < eps2
+                if cv2exact:
+                    # cv2's oscillation exit (lkpyramid.cpp:550-556): when
+                    # two consecutive deltas nearly cancel, take back half
+                    # the last step and stop
+                    osc = (jnp.abs(delta[:, 0] + prev_delta[:, 0]) < 0.01) \
+                        & (jnp.abs(delta[:, 1] + prev_delta[:, 1]) < 0.01)
+                    step = jnp.where((act & osc)[:, None], 0.5 * delta, delta)
+                    v_new = v_cur + jnp.where(act[:, None], step, 0.0)
+                    small = jnp.sum(delta * delta, axis=-1) <= eps2
+                    done_new = done | small | osc
+                else:
+                    v_new = v_cur + jnp.where(act[:, None], delta, 0.0)
+                    small = jnp.sum(delta * delta, axis=-1) < eps2
+                    done_new = done | small
                 err_new = jnp.mean(jnp.abs(r), axis=(1, 2))
                 err_out = jnp.where(done, err_prev, err_new)
-                return (v_new, done | small, err_out), None
+                return (v_new, done_new, err_out, delta), None
 
-            (v, _, err), _ = jax.lax.scan(
-                polish, (v, ~level_ok, err), None,
+            # prev_delta init = +inf so the first iteration can't trip the
+            # oscillation test (cv2 guards it with j > 0)
+            pd0 = jnp.full((n, 2), jnp.inf, jnp.float32)
+            (v, _, err, _), _ = jax.lax.scan(
+                polish, (v, ~level_ok, err, pd0), None,
                 length=config.max_iters if cv2exact else polish_iters,
             )
 
@@ -273,6 +332,12 @@ def lk_track_sweep(
         status = level_ok if level == 0 else status
 
     new_pts = points + g
+    if cv2exact:
+        # cv2 does NOT invalidate points that drift (partially) outside the
+        # image — only windows fully beyond the winSize border are lost,
+        # which the per-level in_bounds already enforced; and it reports the
+        # tracked endpoint regardless of status
+        return LKResult(points=new_pts, status=status, error=err)
     h0 = pyr_prev[0].shape[0] - 2 * pad
     w0 = pyr_prev[0].shape[1] - 2 * pad
     in_final = (
