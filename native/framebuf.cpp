@@ -223,6 +223,22 @@ int y4m_read_yuv(Y4MReader* r, uint8_t* out) {
     return 1;
 }
 
+// Reads up to k frames of packed Y|U|V planes laid out contiguously in out
+// (k * (ysize + 2*csize) bytes).  Returns the number of frames read.  One
+// C call per chunk amortizes the per-frame FFI/Python cost that capped the
+// end-to-end file-streaming rate (the single-core host spent more time in
+// per-frame ring pops and numpy copies than in fread itself).
+int y4m_read_yuv_block(Y4MReader* r, uint8_t* out, int k) {
+    size_t ysize = static_cast<size_t>(r->width) * r->height;
+    size_t csize = r->c420 ? ysize / 4 : ysize;
+    size_t fbytes = ysize + 2 * csize;
+    int n = 0;
+    for (; n < k; ++n) {
+        if (!y4m_read_yuv(r, out + static_cast<size_t>(n) * fbytes)) break;
+    }
+    return n;
+}
+
 void y4m_close(Y4MReader* r) {
     if (!r) return;
     std::fclose(r->f);

@@ -281,3 +281,36 @@ class TestHeadlessApp:
         assert "goodFeaturesToTrack" in out
         assert "calcOpticalFlowPyrLK" in out
         assert "warpPerspective" in out
+
+
+class TestTerminalDisplay:
+    def test_render_ansi_shape_and_colors(self):
+        """The OpenCV-free preview (cli/term_display.py): half-block ANSI
+        rendering — 2 pixels per text row, 24-bit colors, title row."""
+        from video_stabilization_tpu.cli.term_display import render_ansi
+
+        img = np.zeros((64, 96, 3), np.uint8)
+        img[:, :48] = (255, 0, 0)                       # left half blue (BGR)
+        s = render_ansi(img, max_cols=48, max_rows=17, title="t")
+        lines = s.split("\n")
+        assert lines[0].startswith("\x1b[0mt")
+        body = lines[1:]
+        assert 2 <= len(body) <= 16
+        assert all("▀" in ln for ln in body)
+        # left half renders pure blue -> RGB (0,0,255) fg escape present
+        assert "38;2;0;0;255" in body[0]
+
+    def test_side_by_side_and_no_tty_fallback(self):
+        from video_stabilization_tpu.cli.term_display import (
+            TerminalDisplay, render_side_by_side,
+        )
+
+        img = np.full((32, 32, 3), 128, np.uint8)
+        s = render_side_by_side([("a", img), ("b", img)], 100, 20)
+        assert s.startswith("\x1b[H")
+        # without a TTY the display degrades gracefully: keys poll as None
+        import io
+
+        d = TerminalDisplay(out=io.StringIO())
+        assert d.poll_key() is None
+        d.close()

@@ -153,6 +153,75 @@ class TestShardedStep:
         assert int(co.n[0]) == k
 
 
+class TestServeHarness:
+    def test_serve_files_matches_in_memory(self, stream_frames, tmp_path):
+        """The serving harness (serve.py): native Y4M block ingest ->
+        stream-sharded offline pipeline -> per-stream writers.  Outputs must
+        match the in-memory sharded path exactly (same C420-decoded pixels
+        in, same engine, writers just encode what came out).  VERDICT r3
+        item 7."""
+        from video_stabilization_tpu.io.native import NativeY4MReader
+        from video_stabilization_tpu.io.video import VideoWriter
+        from video_stabilization_tpu.ops.image import yuv_flat_to_bgr
+        from video_stabilization_tpu.serve import (
+            pick_serving_devices, serve_files, stabilize_streams_sharded,
+        )
+
+        cfg = tiny_config()
+        n_streams, t = 4, 4
+        paths = []
+        for s in range(n_streams):
+            p = str(tmp_path / f"in{s}.y4m")
+            wr = VideoWriter(p, 30.0, (FH, FW), subsampling="420")
+            for i in range(t):
+                wr.write(np.asarray(stream_frames[i, s]))
+            wr.close()
+            paths.append(p)
+
+        out_dir = str(tmp_path / "out")
+        done, _ = serve_files(paths, out_dir, "smoothing", chunk=2,
+                              config=cfg, log=lambda *a: None)
+        assert done == t
+
+        # reference: decode the same C420 files, run the in-memory sharded path
+        from video_stabilization_tpu.parallel import make_stream_mesh
+
+        decoded = []
+        for p in paths:
+            r = NativeY4MReader(p)
+            blk = r.read_yuv_block(t)
+            decoded.append(np.asarray(
+                yuv_flat_to_bgr(jnp.asarray(blk), FH, FW, True)))
+            r.close()
+        footage = jnp.asarray(np.stack(decoded))       # (S, T, H, W, 3)
+        mesh = make_stream_mesh(
+            pick_serving_devices(jax.devices(), n_streams))
+        outs, valid, _ = stabilize_streams_sharded(footage, cfg, mesh, chunk=2)
+
+        for s in range(n_streams):
+            rd = NativeY4MReader(
+                str(tmp_path / "out" / f"stabilized_in{s}.y4m"))
+            got = []
+            while True:
+                f = rd.read()
+                if f is None:
+                    break
+                got.append(f)
+            rd.close()
+            want = np.asarray(outs[s])[np.asarray(valid[s])]
+            assert len(got) == len(want)
+            # writer re-encodes BGR->C420->BGR: chroma is box-subsampled, so
+            # compare through one round trip of the SAME transform
+            for g, w_ in zip(got, want):
+                wr2 = VideoWriter(str(tmp_path / "rt.y4m"), 30.0, (FH, FW),
+                                  subsampling="420")
+                wr2.write(w_)
+                wr2.close()
+                r2 = NativeY4MReader(str(tmp_path / "rt.y4m"))
+                np.testing.assert_array_equal(g, r2.read())
+                r2.close()
+
+
 class TestGraftEntry:
     def test_entry(self):
         import __graft_entry__

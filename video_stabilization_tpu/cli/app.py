@@ -158,21 +158,38 @@ def run(cfg: AppConfig) -> int:
     if cfg.output:
         writer = VideoWriter(cfg.output, fps, (fh, fw))
 
-    display = cfg.display
-    if display and not os.environ.get("DISPLAY") and sys.platform != "darwin":
-        # cv2's Qt backend abort()s (uncatchable) when it can't reach an X
-        # server; don't even try without one
-        print("[app] no $DISPLAY; running headless", file=sys.stderr)
-        display = False
-    if display:
-        try:
-            import cv2
-            cv2.namedWindow("Original Camera Feed", cv2.WINDOW_NORMAL)
-            cv2.namedWindow("Stabilized Output", cv2.WINDOW_NORMAL)
-        except Exception as e:
-            print(f"[app] display unavailable ({e}); running headless",
+    # --- preview backend selection ------------------------------------------
+    # "cv2": HighGUI windows (parity with the reference,
+    # src/main_utils.cpp:300-325).  "term": ANSI truecolor half-blocks +
+    # raw-mode key polling (cli/term_display.py) — zero OpenCV, zero X —
+    # completing the no-cv2 story the native Y4M reader started.
+    backend = None
+    term_disp = None
+    if cfg.display:
+        want = cfg.display_backend
+        has_x = bool(os.environ.get("DISPLAY")) or sys.platform == "darwin"
+        if want in ("auto", "cv2") and has_x:
+            # cv2's Qt backend abort()s (uncatchable) without an X server;
+            # only try when one is reachable
+            try:
+                import cv2
+                cv2.namedWindow("Original Camera Feed", cv2.WINDOW_NORMAL)
+                cv2.namedWindow("Stabilized Output", cv2.WINDOW_NORMAL)
+                backend = "cv2"
+            except Exception as e:
+                print(f"[app] cv2 display unavailable ({e})", file=sys.stderr)
+        elif want == "cv2" and not has_x:
+            print("[app] no $DISPLAY; running headless", file=sys.stderr)
+        if backend is None and want in ("auto", "term"):
+            from video_stabilization_tpu.cli.term_display import TerminalDisplay
+
+            if want == "term" or TerminalDisplay._is_tty():
+                term_disp = TerminalDisplay()
+                backend = "term"
+        if backend is None and want == "auto":
+            print("[app] no display available; running headless",
                   file=sys.stderr)
-            display = False
+    display = backend is not None
 
     # display sync buffer: delay originals so both views align
     # (reference: src/main_utils.cpp:459-493)
@@ -223,13 +240,19 @@ def run(cfg: AppConfig) -> int:
                 break
 
             key = None
-            if display:
+            if backend == "cv2":
                 import cv2
                 k = cv2.waitKey(1) & 0xFF
                 if k == 27:
                     break
                 if k != 255:
                     key = chr(k).lower()
+            elif backend == "term":
+                k = term_disp.poll_key()
+                if k == "\x1b":
+                    break
+                if k:
+                    key = k.lower()
 
             if key is not None and key in MODE_KEYS:
                 stab.set_stabilization_mode(MODE_KEYS[key])
@@ -311,12 +334,15 @@ def run(cfg: AppConfig) -> int:
                 writer.write(out_np)
 
             if display:
-                import cv2
                 fps_now = 1000.0 / max(timer.averages().get("frame", 1.0), 1e-3)
                 overlay = [f"FPS: {fps_now:.1f}"]
                 if isinstance(source, SimulatorSource):
                     overlay += source.pose_text()
-                disp = _put_text(delayed.copy(), overlay)
+                if backend == "cv2":
+                    import cv2
+                    disp = _put_text(delayed.copy(), overlay)
+                else:
+                    disp = delayed.copy()
                 if cfg.debug_features and delayed_dbg is not None:
                     # tracked-corner overlay (the reference's "features"
                     # debug window, src/stabilizer.cpp:628-634), from the
@@ -324,10 +350,21 @@ def run(cfg: AppConfig) -> int:
                     pts, msk = delayed_dbg
                     inv_s = 1.0 / engine_cfg.scale_factor
                     for x, y in pts[msk][:400]:
-                        cv2.circle(disp, (int(x * inv_s), int(y * inv_s)), 3,
-                                   (0, 255, 0), 1)
-                cv2.imshow("Original Camera Feed", disp)
-                cv2.imshow("Stabilized Output", out_np)
+                        px, py = int(x * inv_s), int(y * inv_s)
+                        if backend == "cv2":
+                            cv2.circle(disp, (px, py), 3, (0, 255, 0), 1)
+                        else:
+                            disp[max(0, py - 1):py + 2,
+                                 max(0, px - 1):px + 2] = (0, 255, 0)
+                if backend == "cv2":
+                    cv2.imshow("Original Camera Feed", disp)
+                    cv2.imshow("Stabilized Output", out_np)
+                else:
+                    term_disp.show([
+                        (" | ".join(overlay) + "  [original]", disp),
+                        (f"mode {StabilizationMode(int(stab.carry.mode)).name}"
+                         "  [stabilized]", out_np),
+                    ])
     finally:
         source.close()
         if writer is not None:
@@ -337,12 +374,14 @@ def run(cfg: AppConfig) -> int:
 
             save_carry(cfg.checkpoint, stab.carry)
             print(f"[app] saved engine state to {cfg.checkpoint}")
-        if display:
+        if backend == "cv2":
             try:
                 import cv2
                 cv2.destroyAllWindows()
             except Exception:
                 pass
+        elif backend == "term":
+            term_disp.close()
 
     avg = timer.averages().get("frame", float("nan"))
     print(f"[app] processed {n} frames, avg {avg:.1f} ms/frame")

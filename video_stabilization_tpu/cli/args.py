@@ -35,6 +35,7 @@ class AppConfig:
     output: Optional[str] = None
     max_frames: Optional[int] = None
     display: bool = True
+    display_backend: str = "auto"      # auto | cv2 | term
     reference_compat: bool = False
     motion_model: str = "rigid"
     checkpoint: Optional[str] = None   # save carry here on exit
@@ -88,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after N frames (headless runs)")
     p.add_argument("--no-display", action="store_true",
                    help="run without GUI windows")
+    p.add_argument("--display-backend", choices=["auto", "cv2", "term"],
+                   default="auto",
+                   help="preview backend: cv2 HighGUI windows, 'term' ANSI "
+                        "truecolor in the terminal (no OpenCV, no X server), "
+                        "or auto (cv2 with $DISPLAY, else term on a TTY)")
     p.add_argument("--reference-compat", action="store_true",
                    help="replicate the reference implementation's behavioral "
                         "quirks bit-for-bit (for drift benchmarking)")
@@ -146,6 +152,7 @@ def parse_args(argv=None) -> AppConfig:
         output=a.output,
         max_frames=a.max_frames,
         display=not a.no_display,
+        display_backend=a.display_backend,
         reference_compat=a.reference_compat,
         motion_model=a.motion_model,
         checkpoint=a.checkpoint,

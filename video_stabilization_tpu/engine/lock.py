@@ -71,22 +71,25 @@ def _registration_lock(
                           n_matches=jnp.zeros((), jnp.int32))
 
     def register(_):
-        if use_hamming:
-            m = match_hamming_knn(
-                ref.desc, ref.mask, feats_desc, feats_mask,
-                config.orb.lowe_ratio,
-            )
-        else:
-            m = match_l2(
-                ref.desc, ref.mask, feats_desc, feats_mask,
-                config.sift.match_avg_ratio, config.sift.match_min_distance,
-            )
+        with jax.named_scope("stage_lock_match"):
+            if use_hamming:
+                m = match_hamming_knn(
+                    ref.desc, ref.mask, feats_desc, feats_mask,
+                    config.orb.lowe_ratio,
+                )
+            else:
+                m = match_l2(
+                    ref.desc, ref.mask, feats_desc, feats_mask,
+                    config.sift.match_avg_ratio,
+                    config.sift.match_min_distance,
+                )
         src = ref.points
         dst = feats_points[m.idx]
-        res = estimate_similarity_ransac(
-            src, dst, m.valid, key, config.ransac,
-            inlier_threshold=config.ransac.lock_inlier_threshold,
-        )
+        with jax.named_scope("stage_lock_ransac"):
+            res = estimate_similarity_ransac(
+                src, dst, m.valid, key, config.ransac,
+                inlier_threshold=config.ransac.lock_inlier_threshold,
+            )
         h_rigid, rigid_ok = remove_isotropic_scale(res.h, center)
         if config.ecc.enabled:
             # ECC refinement of the ref->curr transform against the stored
@@ -94,10 +97,11 @@ def _registration_lock(
             # src/stabilizer.cpp:34; we can afford it)
             from video_stabilization_tpu.ops.ecc import ecc_refine_euclidean
 
-            ecc = ecc_refine_euclidean(
-                ref.gray, proc_gray, h_rigid,
-                max_iters=config.ecc.max_iters, eps=config.ecc.epsilon,
-            )
+            with jax.named_scope("stage_lock_ecc"):
+                ecc = ecc_refine_euclidean(
+                    ref.gray, proc_gray, h_rigid,
+                    max_iters=config.ecc.max_iters, eps=config.ecc.epsilon,
+                )
             h_rigid = jnp.where(ecc.valid, ecc.h, h_rigid)
         n_good = jnp.sum(m.valid.astype(jnp.int32))
         enough = (
@@ -126,13 +130,15 @@ def orb_lock(
     """
     wh, ww = config.working_size
     center = jnp.array([ww / 2.0, wh / 2.0], jnp.float32)
-    small = resize_nearest(pres_frame.astype(jnp.float32), wh, ww)
-    gray = bgr_to_gray(small)
-    proc = preprocess_for_registration(
-        gray, config.preprocess.clahe_clip_limit, config.preprocess.clahe_tiles,
-        config.preprocess.median_ksize,
-    )
-    feats = orb_detect_and_compute(proc, config.orb)
+    with jax.named_scope("stage_lock_pre"):
+        small = resize_nearest(pres_frame.astype(jnp.float32), wh, ww)
+        gray = bgr_to_gray(small)
+        proc = preprocess_for_registration(
+            gray, config.preprocess.clahe_clip_limit,
+            config.preprocess.clahe_tiles, config.preprocess.median_ksize,
+        )
+    with jax.named_scope("stage_lock_orb"):
+        feats = orb_detect_and_compute(proc, config.orb)
     return _registration_lock(
         feats.points, feats.desc, feats.mask, proc, ref, prev_h, key, config,
         center, use_hamming=True,
@@ -151,13 +157,15 @@ def sift_lock(
 
     wh, ww = config.working_size
     center = jnp.array([ww / 2.0, wh / 2.0], jnp.float32)
-    small = resize_nearest(pres_frame.astype(jnp.float32), wh, ww)
-    gray = bgr_to_gray(small)
-    proc = preprocess_for_registration(
-        gray, config.preprocess.clahe_clip_limit, config.preprocess.clahe_tiles,
-        config.preprocess.median_ksize,
-    )
-    feats = sift_detect_and_compute(proc, config.sift)
+    with jax.named_scope("stage_lock_pre"):
+        small = resize_nearest(pres_frame.astype(jnp.float32), wh, ww)
+        gray = bgr_to_gray(small)
+        proc = preprocess_for_registration(
+            gray, config.preprocess.clahe_clip_limit,
+            config.preprocess.clahe_tiles, config.preprocess.median_ksize,
+        )
+    with jax.named_scope("stage_lock_sift"):
+        feats = sift_detect_and_compute(proc, config.sift)
     return _registration_lock(
         feats.points, feats.desc, feats.mask, proc, ref, prev_h, key, config,
         center, use_hamming=False,

@@ -361,6 +361,19 @@ def offline_chunk_step(
         avg_color = 0.5 * jnp.mean(
             pres_frames.astype(jnp.float32), axis=(1, 2)
         )                                                     # (K, C)
+        # per-frame envelope telemetry: under stream-vmap / sharded batching
+        # the projective fallback is disabled, so an out-of-envelope output
+        # transform renders zeros — carry.envelope_violations is the signal
+        # (affine paths only; the perspective path has no envelope)
+        if config.ransac.motion_model != "homography":
+            from video_stabilization_tpu.ops.pallas_warp import (
+                affine_envelope_ok as _env_ok,
+            )
+
+            env_viol_new = carry.envelope_violations + jnp.sum(
+                ~jax.vmap(_env_ok)(h_scaled)).astype(jnp.int32)
+        else:
+            env_viol_new = carry.envelope_violations
         if config.ransac.motion_model == "homography":
             from video_stabilization_tpu.ops.warp import warp_perspective
 
@@ -429,6 +442,7 @@ def offline_chunk_step(
         last_h=h_stab[-1],
         last_inliers=ransac.num_inliers[-1],
         last_lock_matches=lock_matches[-1],
+        envelope_violations=env_viol_new,
         key=carry.key,
     )
     return new_carry, (outputs, out_valid)

@@ -344,13 +344,20 @@ def stabilize_step(
 
             h_scaled = h_scaled.at[2, 0:2].set(h_scaled[2, 0:2] * scale_factor)
             warped = warp_perspective(pres_frame, h_scaled, None, avg_color)
+            env_viol = carry.envelope_violations
         else:
             # affine by construction (rigid/similarity/affine estimates, rigid
             # accumulations, averages of those) -> Pallas 2-pass warp
+            from video_stabilization_tpu.ops.pallas_warp import (
+                affine_envelope_ok,
+            )
+
             warped = warp_affine(
                 pres_frame, h_scaled, border_value=avg_color,
                 projective_fallback=config.warp_projective_fallback,
             )
+            env_viol = carry.envelope_violations + jnp.where(
+                affine_envelope_ok(h_scaled), 0, 1).astype(jnp.int32)
         warped_u8 = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
 
     # quirk #1: the first frame is returned unstabilized
@@ -397,6 +404,7 @@ def stabilize_step(
         last_h=h_stabilize,
         last_inliers=n_inliers,
         last_lock_matches=lock_matches,
+        envelope_violations=env_viol,
         key=key,
     )
     return new_carry, (output, out_valid)

@@ -62,6 +62,9 @@ def _load() -> ctypes.CDLL:
     lib.y4m_read_bgr.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.y4m_read_yuv.restype = ctypes.c_int
     lib.y4m_read_yuv.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.y4m_read_yuv_block.restype = ctypes.c_int
+    lib.y4m_read_yuv_block.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_int]
     lib.y4m_is_c420.restype = ctypes.c_int
     lib.y4m_is_c420.argtypes = [ctypes.c_void_p]
     lib.y4m_close.argtypes = [ctypes.c_void_p]
@@ -142,6 +145,20 @@ class NativeY4MReader(FrameSource):
         out = np.empty((self.yuv_bytes,), np.uint8)
         ok = self._lib.y4m_read_yuv(self._r, out.ctypes.data_as(ctypes.c_char_p))
         return out if ok else None
+
+    def read_yuv_block(self, k: int) -> Optional[np.ndarray]:
+        """Up to ``k`` frames of raw packed Y|U|V planes as one contiguous
+        (n, yuv_bytes) array — ONE native call per chunk.  The per-frame
+        Python/FFI cost of ring pops + per-frame copies capped the
+        single-core end-to-end streaming rate well below the device rate;
+        block reads + async device dispatch restore the overlap with no
+        producer thread at all.  Returns None at EOF."""
+        out = np.empty((k, self.yuv_bytes), np.uint8)
+        n = self._lib.y4m_read_yuv_block(
+            self._r, out.ctypes.data_as(ctypes.c_char_p), k)
+        if n == 0:
+            return None
+        return out[:n]
 
     def close(self) -> None:
         if self._r:

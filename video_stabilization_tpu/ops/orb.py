@@ -259,7 +259,6 @@ def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
        in-trace from STEERED_LIN_*), then each keypoint selects its bin's
        256 columns with a masked sum.
     """
-    n = pts.shape[0]
     h, w = img_raw.shape
     rad = _EXTRACT_RADIUS
 
@@ -271,9 +270,21 @@ def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
 
     both = jnp.stack([img_raw, img_blur])                        # (2, H, W)
     patches = extract_patches_mxu(both, iy, ix, _EXTRACT)        # (N, 2, P, P)
+    return _describe_patches(patches, mask, pattern, esel)
+
+
+def _describe_patches(patches: jax.Array, mask: jax.Array,
+                      pattern: str = "cv2",
+                      esel: jax.Array | None = None):
+    """Steps 2-3 of :func:`_orient_and_describe` on pre-extracted patches —
+    split out so the atlas pipeline can run ONE describe pass over every
+    pyramid level's keypoints at once (extraction stays per level: the
+    one-hot matmul cost scales with image height, so extracting against the
+    full atlas would pay ~10x the FLOPs)."""
+    n = patches.shape[0]
 
     # --- orientation: intensity centroid on the raw patch -------------------
-    off = rad - PATCH_RADIUS
+    off = _EXTRACT_RADIUS - PATCH_RADIUS
     raw31 = patches[:, 0, off : off + 2 * PATCH_RADIUS + 1,
                     off : off + 2 * PATCH_RADIUS + 1]
     m10 = jnp.einsum("npq,pq->n", raw31, CENTROID_X)
@@ -316,48 +327,152 @@ def _orient_and_describe(img_raw: jax.Array, img_blur: jax.Array,
     return angles, descs
 
 
+# Zero rows between atlas levels: FAST reads 3 px, NMS 1 px, the 7-tap blur
+# 3 px — 8 rows (kept a sublane multiple) guarantee no cross-level talk for
+# anything that survives the 31-px edge mask.
+_ATLAS_GAP = 8
+
+
+def _round8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _cell_reduce(score: jax.Array, cell: int):
+    """Best responder per cell on one level's score slice: (n_cells,) values
+    + level-local float coords (pure vector ops — no gathers; max/argmax
+    replace the old take_along_axis)."""
+    h, w = score.shape
+    gh, gw = -(-h // cell), -(-w // cell)
+    rp = jnp.pad(score, ((0, gh * cell - h), (0, gw * cell - w)))
+    cells = rp.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(
+        gh, gw, cell * cell)
+    best_in = jnp.argmax(cells, axis=-1)
+    best_val = jnp.max(cells, axis=-1)
+    cy = jnp.arange(gh)[:, None] * cell + best_in // cell
+    cx = jnp.arange(gw)[None, :] * cell + best_in % cell
+    return (best_val.reshape(-1), cy.reshape(-1).astype(jnp.float32),
+            cx.reshape(-1).astype(jnp.float32))
+
+
 def orb_detect_and_compute(
     img: jax.Array, config: ORBConfig = ORBConfig()
 ) -> ORBFeatures:
-    """Detect + describe on a (H, W) float32 grayscale image."""
+    """Detect + describe on a (H, W) float32 grayscale image.
+
+    Atlas formulation: the scale pyramid is packed into ONE tall image
+    (levels stacked with `_ATLAS_GAP` zero rows, offsets sublane-aligned) so
+    the 12-level loop of small stencil passes collapses to
+
+      - ONE FAST + ONE 3x3-NMS + ONE 7-tap blur over the whole atlas,
+      - per-level cell reduces (cheap reshapes) feeding ONE batched top-k
+        and ONE batched coordinate gather,
+      - per-level MXU patch extraction (cost scales with level area, so
+        this must not run against the full atlas) feeding ONE describe
+        pass for all keypoints of all levels.
+
+    Interior math is bit-identical to the per-level formulation: atlas
+    stencils differ from reflect-101-padded per-level stencils only within
+    4 px of a level edge, and the 31-px edgeThreshold mask drops all of it.
+    """
     h, w = img.shape
     img = img.astype(jnp.float32)
     budgets = _level_budgets(config.max_features, config.n_levels,
                              config.scale_factor)
+    e = config.edge_threshold
 
-    all_pts, all_ang, all_resp, all_size, all_desc, all_mask = [], [], [], [], [], []
-    esel = _pattern_esel(config.pattern)    # one 17.7 MB table for ALL levels
-    level_img = img
+    # ---- static atlas layout ------------------------------------------------
+    layout = []                                        # (y_off, lh, lw, scale)
+    y = 0
     for level in range(config.n_levels):
         scale = config.scale_factor ** level
-        lh, lw = level_img.shape
-        if lh <= 2 * config.edge_threshold or lw <= 2 * config.edge_threshold:
+        lh = h if level == 0 else int(round(h / scale))
+        lw = w if level == 0 else int(round(w / scale))
+        if lh <= 2 * e or lw <= 2 * e:
             break
-        pts, resp, mask = _detect_level(
-            level_img, budgets[level], config.fast_threshold, config.edge_threshold
-        )
-        blur = _gauss7(level_img)
-        ang, desc = _orient_and_describe(level_img, blur, pts, mask,
-                                         config.pattern, esel=esel)
+        layout.append((y, lh, lw, scale))
+        y = _round8(y + lh + _ATLAS_GAP)
+    atlas_h = _round8(y)
+    n_lv = len(layout)
 
-        all_pts.append(pts * scale)
-        all_ang.append(ang)
+    # ---- assemble (levels always resized from the ORIGINAL image) ----------
+    with jax.named_scope("stage_orb_atlas"):
+        atlas = jnp.zeros((atlas_h, w), jnp.float32)
+        for level, (y0, lh, lw, _) in enumerate(layout):
+            li = img if level == 0 else resize_bilinear(img, lh, lw)
+            atlas = jax.lax.dynamic_update_slice(atlas, li, (y0, 0))
+
+    # ---- one FAST + NMS + interior-mask pass over every level --------------
+    with jax.named_scope("stage_orb_fastnms"):
+        score, _ = fast_score(atlas, config.fast_threshold)
+        score = _nms3(score)
+        yy = jnp.arange(atlas_h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        valid = jnp.zeros((atlas_h, w), bool)
+        for (y0, lh, lw, _) in layout:
+            valid = valid | ((yy >= y0 + e) & (yy < y0 + lh - e)
+                             & (xx >= e) & (xx < lw - e))
+        score = jnp.where(valid, score, 0.0)
+    with jax.named_scope("stage_orb_blur"):
+        blur = _gauss7(atlas)
+
+    # ---- per-level cell reduce -> ONE batched top-k + coord gather ---------
+    with jax.named_scope("stage_orb_select"):
+        vals, cys, cxs = [], [], []
+        for (y0, lh, lw, _) in layout:
+            sl = jax.lax.slice(score, (y0, 0), (y0 + lh, lw))
+            cell = 4 if min(lh, lw) >= 200 else 2
+            v, cy, cx = _cell_reduce(sl, cell)
+            vals.append(v)
+            cys.append(cy)
+            cxs.append(cx)
+        k0 = max(budgets[:n_lv])
+        n_max = max([k0] + [v.shape[0] for v in vals])
+        stackpad = lambda xs: jnp.stack(  # noqa: E731
+            [jnp.pad(x, (0, n_max - x.shape[0])) for x in xs])
+        top, idx = jax.lax.top_k(stackpad(vals), k0)          # (L, k0)
+        coords = jnp.stack([stackpad(cxs), stackpad(cys)], 1)  # (L, 2, n_max)
+        picked = jnp.take_along_axis(
+            coords, idx[:, None, :], axis=2)                   # (L, 2, k0)
+
+    # ---- per-level patch extraction; ONE describe pass ----------------------
+    from video_stabilization_tpu.ops.patches import extract_patches_mxu
+
+    esel = _pattern_esel(config.pattern)    # one 17.7 MB table for ALL levels
+    planes = jnp.stack([atlas, blur])                   # (2, H_atlas, W)
+    all_pts, all_resp, all_size, all_mask, all_patches = [], [], [], [], []
+    for level, (y0, lh, lw, scale) in enumerate(layout):
+        nb = budgets[level]
+        xs_l, ys_l = picked[level, 0, :nb], picked[level, 1, :nb]
+        resp = top[level, :nb]
+        mask = resp > 0
+        with jax.named_scope(f"stage_orb_extract_l{level}"):
+            iy = jnp.clip(
+                jnp.round(ys_l).astype(jnp.int32) - _EXTRACT_RADIUS,
+                0, lh - _EXTRACT)
+            ix = jnp.clip(
+                jnp.round(xs_l).astype(jnp.int32) - _EXTRACT_RADIUS,
+                0, lw - _EXTRACT)
+            planes_l = jax.lax.slice(planes, (0, y0, 0), (2, y0 + lh, lw))
+            all_patches.append(
+                extract_patches_mxu(planes_l, iy, ix, _EXTRACT))
+        all_pts.append(jnp.stack([xs_l, ys_l], -1) * scale)
         all_resp.append(resp)
-        all_size.append(jnp.full((pts.shape[0],), config.patch_size * scale))
-        all_desc.append(desc)
+        all_size.append(jnp.full((nb,), config.patch_size * scale))
         all_mask.append(mask)
 
-        nh = int(round(h / (config.scale_factor ** (level + 1))))
-        nw = int(round(w / (config.scale_factor ** (level + 1))))
-        level_img = resize_bilinear(img, nh, nw)
+    mask_all = jnp.concatenate(all_mask)
+    with jax.named_scope("stage_orb_desc"):
+        ang_all, desc_all = _describe_patches(
+            jnp.concatenate(all_patches, axis=0), mask_all,
+            config.pattern, esel=esel)
 
     feats = ORBFeatures(
         points=jnp.concatenate(all_pts, axis=0),
-        angle=jnp.concatenate(all_ang),
+        angle=ang_all,
         response=jnp.concatenate(all_resp),
         size=jnp.concatenate(all_size),
-        desc=jnp.concatenate(all_desc, axis=0),
-        mask=jnp.concatenate(all_mask),
+        desc=desc_all,
+        mask=mask_all,
     )
     feats = _fix_capacity(feats, config.max_features)
     # relative keypoint-size filter (reference: filterKeypointByRelativeSize,
