@@ -26,10 +26,11 @@ This module replicates the OpenCV pipeline exactly:
   default 10) — replicated as the same damped-normal-equation iteration on
   the (a, b, tx, ty) parameterization.
 
-Two implementations ship: a numpy reference (validated element-exact against
-the installed cv2 in tests/test_cv2_ransac.py) and a JAX translation as a
-fixed-length masked ``lax.scan`` (same draws, same early-exit semantics) for
-use inside the jitted engine when ``reference_compat`` is set.
+This module ships the numpy reference implementation (validated
+element-exact against the installed cv2 in tests/test_cv2_ransac.py); the
+compat drift referee injects it as a host estimator stage between the two
+jitted engine halves (engine/stabilizer.py make_step_ext_fn).  The all-TPU
+production estimator is motion/ransac.py's vmapped-hypothesis RANSAC.
 """
 
 from __future__ import annotations

@@ -12,7 +12,7 @@ every cv2 arithmetic quirk can be replicated exactly.  Production modes are
 unaffected (they use the jitted detectors).
 
 Forensics behind each stage (validated element-exact against the installed
-OpenCV on random and simulator footage — tests/test_gftt_host.py):
+OpenCV on random and simulator footage — tests/test_cv2_fidelity.py):
 
 - gray: cv2's fixed-point u8 resize at integer factors reduces to lattice
   sampling (odd k: strided slice at offset (k-1)/2; even k: center-pair sums
