@@ -327,138 +327,64 @@ def _describe_patches(patches: jax.Array, mask: jax.Array,
     return angles, descs
 
 
-# Zero rows between atlas levels: FAST reads 3 px, NMS 1 px, the 7-tap blur
-# 3 px — 8 rows (kept a sublane multiple) guarantee no cross-level talk for
-# anything that survives the 31-px edge mask.
-_ATLAS_GAP = 8
-
-
-def _round8(x: int) -> int:
-    return -(-x // 8) * 8
-
-
-def _cell_reduce(score: jax.Array, cell: int):
-    """Best responder per cell on one level's score slice: (n_cells,) values
-    + level-local float coords (pure vector ops — no gathers; max/argmax
-    replace the old take_along_axis)."""
-    h, w = score.shape
-    gh, gw = -(-h // cell), -(-w // cell)
-    rp = jnp.pad(score, ((0, gh * cell - h), (0, gw * cell - w)))
-    cells = rp.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(
-        gh, gw, cell * cell)
-    best_in = jnp.argmax(cells, axis=-1)
-    best_val = jnp.max(cells, axis=-1)
-    cy = jnp.arange(gh)[:, None] * cell + best_in // cell
-    cx = jnp.arange(gw)[None, :] * cell + best_in % cell
-    return (best_val.reshape(-1), cy.reshape(-1).astype(jnp.float32),
-            cx.reshape(-1).astype(jnp.float32))
-
-
 def orb_detect_and_compute(
     img: jax.Array, config: ORBConfig = ORBConfig()
 ) -> ORBFeatures:
     """Detect + describe on a (H, W) float32 grayscale image.
 
-    Atlas formulation: the scale pyramid is packed into ONE tall image
-    (levels stacked with `_ATLAS_GAP` zero rows, offsets sublane-aligned) so
-    the 12-level loop of small stencil passes collapses to
+    Hybrid formulation (the fast halves of rounds 3 and 4):
 
-      - ONE FAST + ONE 3x3-NMS + ONE 7-tap blur over the whole atlas,
-      - per-level cell reduces (cheap reshapes) feeding ONE batched top-k
-        and ONE batched coordinate gather,
-      - per-level MXU patch extraction (cost scales with level area, so
-        this must not run against the full atlas) feeding ONE describe
-        pass for all keypoints of all levels.
-
-    Interior math is bit-identical to the per-level formulation: atlas
-    stencils differ from reflect-101-padded per-level stencils only within
-    4 px of a level edge, and the 31-px edgeThreshold mask drops all of it.
+    - detection per level at its EXACT shape — FAST (Pallas VMEM kernel,
+      ops/fast.py) + NMS + cell top-k + the 7-tap blur + MXU patch
+      extraction.  A round-4 experiment packed all 12 levels into one tall
+      width-padded atlas to fuse the stencils; it measured 7.24 ms vs
+      4.79 ms for per-level on the 360p working image (TPU v5e,
+      2026-08-20) because every level paid full-width FAST/NMS (~1.7x the
+      true pixels) on an already-HBM-bound pass;
+    - ONE describe pass over every level's extracted patches (the atlas
+      round's good half): the descriptor-sampling matmul and the 18-bin
+      masked sum run once at (~2500, ·) instead of 12x at poor MXU
+      occupancy — bit-identical per keypoint, rows are independent.
     """
     h, w = img.shape
     img = img.astype(jnp.float32)
     budgets = _level_budgets(config.max_features, config.n_levels,
                              config.scale_factor)
-    e = config.edge_threshold
 
-    # ---- static atlas layout ------------------------------------------------
-    layout = []                                        # (y_off, lh, lw, scale)
-    y = 0
-    for level in range(config.n_levels):
-        scale = config.scale_factor ** level
-        lh = h if level == 0 else int(round(h / scale))
-        lw = w if level == 0 else int(round(w / scale))
-        if lh <= 2 * e or lw <= 2 * e:
-            break
-        layout.append((y, lh, lw, scale))
-        y = _round8(y + lh + _ATLAS_GAP)
-    atlas_h = _round8(y)
-    n_lv = len(layout)
-
-    # ---- assemble (levels always resized from the ORIGINAL image) ----------
-    with jax.named_scope("stage_orb_atlas"):
-        atlas = jnp.zeros((atlas_h, w), jnp.float32)
-        for level, (y0, lh, lw, _) in enumerate(layout):
-            li = img if level == 0 else resize_bilinear(img, lh, lw)
-            atlas = jax.lax.dynamic_update_slice(atlas, li, (y0, 0))
-
-    # ---- one FAST + NMS + interior-mask pass over every level --------------
-    with jax.named_scope("stage_orb_fastnms"):
-        score, _ = fast_score(atlas, config.fast_threshold)
-        score = _nms3(score)
-        yy = jnp.arange(atlas_h)[:, None]
-        xx = jnp.arange(w)[None, :]
-        valid = jnp.zeros((atlas_h, w), bool)
-        for (y0, lh, lw, _) in layout:
-            valid = valid | ((yy >= y0 + e) & (yy < y0 + lh - e)
-                             & (xx >= e) & (xx < lw - e))
-        score = jnp.where(valid, score, 0.0)
-    with jax.named_scope("stage_orb_blur"):
-        blur = _gauss7(atlas)
-
-    # ---- per-level cell reduce -> ONE batched top-k + coord gather ---------
-    with jax.named_scope("stage_orb_select"):
-        vals, cys, cxs = [], [], []
-        for (y0, lh, lw, _) in layout:
-            sl = jax.lax.slice(score, (y0, 0), (y0 + lh, lw))
-            cell = 4 if min(lh, lw) >= 200 else 2
-            v, cy, cx = _cell_reduce(sl, cell)
-            vals.append(v)
-            cys.append(cy)
-            cxs.append(cx)
-        k0 = max(budgets[:n_lv])
-        n_max = max([k0] + [v.shape[0] for v in vals])
-        stackpad = lambda xs: jnp.stack(  # noqa: E731
-            [jnp.pad(x, (0, n_max - x.shape[0])) for x in xs])
-        top, idx = jax.lax.top_k(stackpad(vals), k0)          # (L, k0)
-        coords = jnp.stack([stackpad(cxs), stackpad(cys)], 1)  # (L, 2, n_max)
-        picked = jnp.take_along_axis(
-            coords, idx[:, None, :], axis=2)                   # (L, 2, k0)
-
-    # ---- per-level patch extraction; ONE describe pass ----------------------
     from video_stabilization_tpu.ops.patches import extract_patches_mxu
 
-    esel = _pattern_esel(config.pattern)    # one 17.7 MB table for ALL levels
-    planes = jnp.stack([atlas, blur])                   # (2, H_atlas, W)
     all_pts, all_resp, all_size, all_mask, all_patches = [], [], [], [], []
-    for level, (y0, lh, lw, scale) in enumerate(layout):
-        nb = budgets[level]
-        xs_l, ys_l = picked[level, 0, :nb], picked[level, 1, :nb]
-        resp = top[level, :nb]
-        mask = resp > 0
+    esel = _pattern_esel(config.pattern)    # one 17.7 MB table for ALL levels
+    level_img = img
+    for level in range(config.n_levels):
+        scale = config.scale_factor ** level
+        lh, lw = level_img.shape
+        if lh <= 2 * config.edge_threshold or lw <= 2 * config.edge_threshold:
+            break
+        with jax.named_scope(f"stage_orb_detect_l{level}"):
+            pts, resp, mask = _detect_level(
+                level_img, budgets[level], config.fast_threshold,
+                config.edge_threshold
+            )
+            blur = _gauss7(level_img)
         with jax.named_scope(f"stage_orb_extract_l{level}"):
             iy = jnp.clip(
-                jnp.round(ys_l).astype(jnp.int32) - _EXTRACT_RADIUS,
+                jnp.round(pts[:, 1]).astype(jnp.int32) - _EXTRACT_RADIUS,
                 0, lh - _EXTRACT)
             ix = jnp.clip(
-                jnp.round(xs_l).astype(jnp.int32) - _EXTRACT_RADIUS,
+                jnp.round(pts[:, 0]).astype(jnp.int32) - _EXTRACT_RADIUS,
                 0, lw - _EXTRACT)
-            planes_l = jax.lax.slice(planes, (0, y0, 0), (2, y0 + lh, lw))
-            all_patches.append(
-                extract_patches_mxu(planes_l, iy, ix, _EXTRACT))
-        all_pts.append(jnp.stack([xs_l, ys_l], -1) * scale)
+            all_patches.append(extract_patches_mxu(
+                jnp.stack([level_img, blur]), iy, ix, _EXTRACT))
+
+        all_pts.append(pts * scale)
         all_resp.append(resp)
-        all_size.append(jnp.full((nb,), config.patch_size * scale))
+        all_size.append(jnp.full((pts.shape[0],), config.patch_size * scale))
         all_mask.append(mask)
+
+        nh = int(round(h / (config.scale_factor ** (level + 1))))
+        nw = int(round(w / (config.scale_factor ** (level + 1))))
+        level_img = resize_bilinear(img, nh, nw)
 
     mask_all = jnp.concatenate(all_mask)
     with jax.named_scope("stage_orb_desc"):
