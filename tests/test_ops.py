@@ -230,3 +230,25 @@ class TestWarpAffineShear:
         out = np.asarray(warp_affine_shear(jnp.asarray(img), jnp.asarray(h),
                                            border_value=7.5))
         assert np.all(out[:, :90] == 7.5)
+
+
+class TestExtractPatchesMXU:
+    def test_matches_direct_indexing(self):
+        """One-hot MXU extraction must equal direct (bf16) indexing on both
+        contraction orders (landscape picks column-first, portrait
+        row-first)."""
+        from video_stabilization_tpu.ops.patches import extract_patches_mxu
+
+        rng = np.random.default_rng(3)
+        for h, w in ((40, 64), (64, 40)):
+            planes = jnp.asarray(
+                rng.uniform(0, 255, (2, h, w)).astype(np.float32))
+            n, p = 7, 9
+            iy = jnp.asarray(rng.integers(0, h - p, n).astype(np.int32))
+            ix = jnp.asarray(rng.integers(0, w - p, n).astype(np.int32))
+            got = np.asarray(extract_patches_mxu(planes, iy, ix, p))
+            ref16 = np.asarray(planes.astype(jnp.bfloat16)).astype(np.float32)
+            for i in range(n):
+                want = ref16[:, int(iy[i]):int(iy[i]) + p,
+                             int(ix[i]):int(ix[i]) + p]
+                np.testing.assert_array_equal(got[i], want)

@@ -44,14 +44,29 @@ def extract_patches_mxu(
     rsel = (yidx[:, :, None] == jnp.arange(h)[None, None, :]).astype(
         jnp.bfloat16
     )
-    rows = jnp.einsum(
-        "nph,chw->ncpw", rsel, planes16, preferred_element_type=jnp.float32
-    )                                                            # (N, C, P, W)
     xidx = ix[:, None] + jnp.arange(size)[None, :]               # (N, P)
     csel = (jnp.arange(w)[None, :, None] == xidx[:, None, :]).astype(
         jnp.bfloat16
     )
+    # Select the smaller image axis first so the half-selected intermediate
+    # is (N, C, min(H·P, P·W)) — for landscape planes column-first shrinks
+    # it ~W/H x.  Both orders are bit-identical (each one-hot contraction
+    # copies a single bf16 image entry; f32 accumulation is exact on a
+    # one-hot operand), and keeping the intermediate in bf16 is exact for
+    # the same reason — it already holds bf16 image values.
+    if h <= w:
+        cols = jnp.einsum(
+            "chw,nwq->nchq", planes16, csel,
+            preferred_element_type=jnp.bfloat16,
+        )                                                        # (N, C, H, P)
+        return jnp.einsum(
+            "nph,nchq->ncpq", rsel, cols,
+            preferred_element_type=jnp.float32,
+        )                                                        # (N, C, P, P)
+    rows = jnp.einsum(
+        "nph,chw->ncpw", rsel, planes16, preferred_element_type=jnp.bfloat16
+    )                                                            # (N, C, P, W)
     return jnp.einsum(
-        "ncpw,nwq->ncpq", rows.astype(jnp.bfloat16), csel,
+        "ncpw,nwq->ncpq", rows, csel,
         preferred_element_type=jnp.float32,
     )                                                            # (N, C, P, P)
