@@ -327,6 +327,23 @@ def _describe_patches(patches: jax.Array, mask: jax.Array,
     return angles, descs
 
 
+def _cell_reduce(score: jax.Array, cell: int):
+    """Best responder per cell on one level's score map: (n_cells,) values
+    + level-local float coords (pure vector ops — no gathers; max/argmax
+    replace take_along_axis)."""
+    h, w = score.shape
+    gh, gw = -(-h // cell), -(-w // cell)
+    rp = jnp.pad(score, ((0, gh * cell - h), (0, gw * cell - w)))
+    cells = rp.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(
+        gh, gw, cell * cell)
+    best_in = jnp.argmax(cells, axis=-1)
+    best_val = jnp.max(cells, axis=-1)
+    cy = jnp.arange(gh)[:, None] * cell + best_in // cell
+    cx = jnp.arange(gw)[None, :] * cell + best_in % cell
+    return (best_val.reshape(-1), cy.reshape(-1).astype(jnp.float32),
+            cx.reshape(-1).astype(jnp.float32))
+
+
 def orb_detect_and_compute(
     img: jax.Array, config: ORBConfig = ORBConfig()
 ) -> ORBFeatures:
@@ -341,50 +358,86 @@ def orb_detect_and_compute(
       4.79 ms for per-level on the 360p working image (TPU v5e,
       2026-08-20) because every level paid full-width FAST/NMS (~1.7x the
       true pixels) on an already-HBM-bound pass;
-    - ONE describe pass over every level's extracted patches (the atlas
-      round's good half): the descriptor-sampling matmul and the 18-bin
-      masked sum run once at (~2500, ·) instead of 12x at poor MXU
-      occupancy — bit-identical per keypoint, rows are independent.
+    - ONE batched top-k over every level's cell winners and ONE describe
+      pass over every level's extracted patches (the atlas round's good
+      halves): the k-selection sort, the descriptor-sampling matmul, and
+      the 18-bin masked sum run once instead of 12x at poor occupancy —
+      selection- and descriptor-identical per keypoint (each top-k row's
+      first budgets[l] entries equal the per-level top-k; describe rows
+      are independent).
     """
     h, w = img.shape
     img = img.astype(jnp.float32)
     budgets = _level_budgets(config.max_features, config.n_levels,
                              config.scale_factor)
+    e = config.edge_threshold
 
     from video_stabilization_tpu.ops.patches import extract_patches_mxu
 
-    all_pts, all_resp, all_size, all_mask, all_patches = [], [], [], [], []
     esel = _pattern_esel(config.pattern)    # one 17.7 MB table for ALL levels
+
+    # ---- per-level FAST + NMS + interior mask + cell reduce (exact
+    # level shapes) ----------------------------------------------------
+    levels = []                       # (level_img, blur, lh, lw, scale)
+    vals, cys, cxs = [], [], []
     level_img = img
     for level in range(config.n_levels):
         scale = config.scale_factor ** level
         lh, lw = level_img.shape
-        if lh <= 2 * config.edge_threshold or lw <= 2 * config.edge_threshold:
+        if lh <= 2 * e or lw <= 2 * e:
             break
         with jax.named_scope(f"stage_orb_detect_l{level}"):
-            pts, resp, mask = _detect_level(
-                level_img, budgets[level], config.fast_threshold,
-                config.edge_threshold
-            )
+            score, _ = fast_score(level_img, config.fast_threshold)
+            valid_region = (jnp.zeros((lh, lw), bool)
+                            .at[e:lh - e, e:lw - e].set(True)
+                            if (lh > 2 * e and lw > 2 * e)
+                            else jnp.zeros((lh, lw), bool))
+            score = jnp.where(valid_region, _nms3(score), 0.0)
+            cell = 4 if min(lh, lw) >= 200 else 2
+            v, cy, cx = _cell_reduce(score, cell)
             blur = _gauss7(level_img)
+        levels.append((level_img, blur, lh, lw, scale))
+        vals.append(v)
+        cys.append(cy)
+        cxs.append(cx)
+        nh = int(round(h / (config.scale_factor ** (level + 1))))
+        nw = int(round(w / (config.scale_factor ** (level + 1))))
+        level_img = resize_bilinear(img, nh, nw)
+    n_lv = len(levels)
+
+    # ---- ONE batched top-k over every level's cell winners (selection-
+    # equivalent to per-level top_k: each row's top budgets[l] entries are
+    # the same set in the same order; zero-padded lanes mask out) --------
+    with jax.named_scope("stage_orb_select"):
+        k0 = max(budgets[:n_lv])
+        n_max = max([k0] + [v.shape[0] for v in vals])
+        stackpad = lambda xs: jnp.stack(  # noqa: E731
+            [jnp.pad(x, (0, n_max - x.shape[0])) for x in xs])
+        top, idx = jax.lax.top_k(stackpad(vals), k0)           # (L, k0)
+        coords = jnp.stack([stackpad(cxs), stackpad(cys)], 1)  # (L, 2, n_max)
+        picked = jnp.take_along_axis(coords, idx[:, None, :], axis=2)
+
+    # ---- per-level patch extraction feeding ONE describe pass ----------
+    all_pts, all_resp, all_size, all_mask, all_patches = [], [], [], [], []
+    for level, (level_img, blur, lh, lw, scale) in enumerate(levels):
+        nb = budgets[level]
+        xs_l, ys_l = picked[level, 0, :nb], picked[level, 1, :nb]
+        resp = top[level, :nb]
+        mask = resp > 0
         with jax.named_scope(f"stage_orb_extract_l{level}"):
             iy = jnp.clip(
-                jnp.round(pts[:, 1]).astype(jnp.int32) - _EXTRACT_RADIUS,
+                jnp.round(ys_l).astype(jnp.int32) - _EXTRACT_RADIUS,
                 0, lh - _EXTRACT)
             ix = jnp.clip(
-                jnp.round(pts[:, 0]).astype(jnp.int32) - _EXTRACT_RADIUS,
+                jnp.round(xs_l).astype(jnp.int32) - _EXTRACT_RADIUS,
                 0, lw - _EXTRACT)
             all_patches.append(extract_patches_mxu(
                 jnp.stack([level_img, blur]), iy, ix, _EXTRACT))
 
-        all_pts.append(pts * scale)
+        all_pts.append(jnp.stack([xs_l, ys_l], -1) * scale)
         all_resp.append(resp)
-        all_size.append(jnp.full((pts.shape[0],), config.patch_size * scale))
+        all_size.append(jnp.full((nb,), config.patch_size * scale))
         all_mask.append(mask)
-
-        nh = int(round(h / (config.scale_factor ** (level + 1))))
-        nw = int(round(w / (config.scale_factor ** (level + 1))))
-        level_img = resize_bilinear(img, nh, nw)
 
     mask_all = jnp.concatenate(all_mask)
     with jax.named_scope("stage_orb_desc"):
