@@ -140,8 +140,14 @@ def serve_files(paths: Sequence[str], output_dir: Optional[str], mode,
     log(f"serving {s} stream(s) of {w}x{h} over {len(devs)} device(s) "
         f"({devs[0].platform}), chunk {chunk}")
 
-    mode = (StabilizationMode[mode.upper()] if isinstance(mode, str)
-            else StabilizationMode(mode))
+    if isinstance(mode, str):
+        # accept both the CLI spellings ("smoothing", "orb-lock", ...) and
+        # raw enum member names ("GLOBAL_SMOOTHING", ...)
+        from video_stabilization_tpu.cli.args import MODE_NAMES
+
+        mode = StabilizationMode[MODE_NAMES.get(mode, mode.upper())]
+    else:
+        mode = StabilizationMode(mode)
     if config is not None:                  # test/tuned override
         cfg = dataclasses.replace(
             config, frame_height=h, frame_width=w, static_mode=int(mode))
