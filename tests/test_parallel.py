@@ -234,3 +234,23 @@ class TestGraftEntry:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestServeModeNames:
+    def test_serve_files_accepts_cli_and_enum_spellings(self, tmp_path):
+        """serve_files must accept both CLI spellings ("smoothing") and raw
+        enum names ("GLOBAL_SMOOTHING") — regression for the KeyError that
+        broke the library-API path (serve.py mode resolution)."""
+        from video_stabilization_tpu.io.video import VideoWriter
+        from video_stabilization_tpu.serve import serve_files
+
+        p = str(tmp_path / "in.y4m")
+        wr = VideoWriter(p, 30.0, (FH, FW), subsampling="420")
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            wr.write(rng.integers(0, 255, (FH, FW, 3), dtype=np.uint8))
+        wr.close()
+        for mode in ("smoothing", "GLOBAL_SMOOTHING", "accumulated-lock"):
+            done, _ = serve_files([p], None, mode, chunk=1,
+                                  config=tiny_config(), log=lambda *a: None)
+            assert done == 3
