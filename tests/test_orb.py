@@ -68,6 +68,27 @@ class TestFAST:
             np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pl))
             np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_pl))
 
+    def test_pallas_kernel_matches_xla_on_pyramid_shapes(self):
+        """Every level shape of the production 360p ORB pyramid (odd widths
+        exercise the kernel's lane padding; short levels its strip
+        clamping) must match the XLA path exactly."""
+        from video_stabilization_tpu.ops.fast import fast_score_xla
+
+        rng = np.random.default_rng(9)
+        h0, w0 = 360, 640
+        for level in range(12):
+            s = 1.2 ** level
+            lh, lw = int(round(h0 / s)), int(round(w0 / s))
+            if lh <= 62 or lw <= 62:
+                break
+            img = jnp.asarray(
+                rng.integers(0, 255, (lh, lw)).astype(np.float32))
+            s_ref, _ = fast_score_xla(img, 20.0)
+            s_pl, _ = fast_score(img, 20.0)
+            np.testing.assert_array_equal(
+                np.asarray(s_ref), np.asarray(s_pl),
+                err_msg=f"level {level} shape ({lh}, {lw})")
+
     def test_pallas_kernel_matches_xla_batched(self):
         """vmap over the kernel (the offline pipeline maps ORB detection
         over chunk frames) must match the XLA path too."""
